@@ -1,0 +1,223 @@
+"""Typed configuration for the framework.
+
+Replaces the reference's two-tier config (``config.ini`` -> ``os.environ``
+in ``init.py:47-62`` plus the module-level ``args`` hyperparameter dict,
+``init.py:27-43``) with one typed, layered dataclass:
+
+* defaults in code,
+* optional INI file override (same section/key layout as the reference's
+  ``config.ini`` so existing configs keep working),
+* optional CLI ``--key=value`` overrides (the reference had no CLI flags;
+  SURVEY.md §5 flags this as a gap to fix).
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class PathsConfig:
+    """Filesystem layout (reference ``config.ini:1-27`` / ``init.py:18-23``)."""
+
+    unit_file_path: str = "./units"
+    parameters_file_path: str = "./parameters"
+    log_file_path: str = "./parameters"
+    audio_file_path: str = "./data/record"
+    label_file_path: str = "./data/label"
+    env_id: int = 0  # machine id (reference ``config.ini:26``); job index
+
+
+@dataclass
+class FrontendConfig:
+    """MFCC + VAD frontend (reference ``AudioProcessing.py:99-543``)."""
+
+    sample_rate: int = 16000
+    frame_time_s: float = 0.025     # 25 ms frames (AudioProcessing.py:201)
+    frame_overlap: float = 0.5      # 50% hop    (AudioProcessing.py:201)
+    nfft: int = 512                 # rFFT size  (AudioProcessing.py:249)
+    pre_emphasis: float = 0.98      # (AudioProcessing.py:184)
+    hamming_alpha: float = 0.46     # (AudioProcessing.py:228)
+    num_filters: int = 26           # mel filters (AudioProcessing.py:280)
+    low_hz: float = 0.0
+    high_hz: float | None = None    # defaults to sample_rate / 2
+    dct_num: int = 13               # cepstral order (init.py:36)
+    delta_1: bool = True            # +Δ   (init.py:37)
+    delta_2: bool = True            # +ΔΔ  (init.py:38)
+    delta_n: int = 2                # ±2-frame regression (AudioProcessing.py:401)
+    energy_c0: bool = True          # c0 <- log frame energy (AudioProcessing.py:437-438)
+    # Reference-numerics quirks, flag-gated (SURVEY.md §7 "hard parts" (b)):
+    # the reference applies the Hamming window across the *frame* axis
+    # (AudioProcessing.py:242-245) and deletes all zero samples on load
+    # (AudioProcessing.py:176).  ``reference_quirks=True`` reproduces both
+    # for parity; False uses the textbook pipeline.
+    reference_quirks: bool = False
+    # VAD (AudioProcessing.py:450-543)
+    vad: bool = True
+    vad_sample_size: int = 16       # noise estimated from first 16 frames
+    vad_alpha: float = 0.5          # noise EMA
+    vad_beta: float = 0.93          # OSF quantile
+
+    @property
+    def frame_size(self) -> int:
+        return int(self.sample_rate * self.frame_time_s)
+
+    @property
+    def frame_step(self) -> int:
+        return int(self.frame_size * self.frame_overlap)
+
+    @property
+    def feat_dim(self) -> int:
+        """Total feature dimension (AcousticModel.py:84-88)."""
+        d = self.dct_num
+        if self.delta_2:
+            return d * 3
+        if self.delta_1:
+            return d * 2
+        return d
+
+
+@dataclass
+class ModelConfig:
+    """Acoustic-model structure (reference ``init.py:27-43``)."""
+
+    unit_type: str = "XIF_tone"
+    state_num: int = 5              # states per unit HMM, 2 virtual (init.py:33)
+    mix_level: int = 4              # initial GMM mixtures (init.py:34)
+    max_mix_level: int = 13         # mixture growth ceiling (init.py:35)
+    c_covariance: float = 1e-6      # covariance floor (init.py:30)
+    # 'textbook' uses the standard log-Gaussian normalizer
+    # (-0.5*sum(log var)); 'reference' reproduces the reference's
+    # deviation (-0.5*sum(var), util.py:29).  Parity tests target
+    # 'reference'; production defaults to 'textbook'.
+    gaussian_normalizer: str = "textbook"
+
+    @property
+    def emit_states(self) -> int:
+        return self.state_num - 2
+
+
+@dataclass
+class TrainConfig:
+    """Training-loop hyperparameters (reference ``init.py:27-43``,
+    ``Controller.py:161-202``)."""
+
+    task_num: int = 1               # machines / hosts (init.py:28)
+    processes: int = 1              # per-host workers (init.py:31)
+    load_line: int = 0              # label line in .trn files (init.py:32)
+    batch_size: int = 32            # utterances per device batch (new: TPU batching)
+    max_frames: int = 512           # per-utterance frame budget (padded/bucketed)
+    max_label_len: int = 32         # per-utterance unit budget (padded)
+    epochs: int = 1
+    # Baum-Welch stop deltas (LHMM.py:539, Clustering.py:706)
+    hmm_converge_delta: float = 0.64
+    gmm_converge_delta: float = 1.28
+    max_bw_iters: int = 10
+    max_em_iters: int = 20
+    # Flat-start (init.py:39-42, AcousticModel.py:479-517)
+    proportion: float = 0.05
+    step: int = 25
+    differentiation: bool = True
+    coefficient: float = 0.25
+    # SMEM (Clustering.py:483-577)
+    smem: bool = True
+    smem_c_max: int = 5
+    add_mix: bool = False           # grow mixtures between rounds (Controller.py:153-159)
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout (SURVEY.md §7 step 6).
+
+    ``data`` shards utterance batches (the reference's multi-machine data
+    parallelism over pathInfo shards, Controller.py:79-106); ``state``
+    shards the senone bank when it exceeds one chip's HBM (the reference's
+    multi-machine unit partitioning, Controller.py:47-77)."""
+
+    data_axis: int = -1             # -1: all devices on the data axis
+    state_axis: int = 1
+
+
+@dataclass
+class Config:
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_ini(cls, path: str) -> "Config":
+        """Load the reference's ``config.ini`` layout (sections LogFile /
+        UnitFile / ParamFile / AudioFile / LabelFile / Environment,
+        ``config.ini:1-27``) into the typed config; unknown keys error."""
+        cfg = cls()
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"config file not found: {path}")
+        cp = configparser.ConfigParser()
+        cp.read(path)
+        mapping = {
+            "log_file_path": ("paths", "log_file_path"),
+            "unit_file_path": ("paths", "unit_file_path"),
+            "parameters_file_path": ("paths", "parameters_file_path"),
+            "audio_file_path": ("paths", "audio_file_path"),
+            "label_file_path": ("paths", "label_file_path"),
+            "env_id": ("paths", "env_id"),
+        }
+        for section in cp.sections():
+            for key, value in cp.items(section):
+                if not value:
+                    continue
+                if key in mapping:
+                    group, attr = mapping[key]
+                    cfg.set_by_path(f"{group}.{attr}", value)
+                else:
+                    cfg.set_by_path(key, value)
+        return cfg
+
+    def set_by_path(self, dotted: str, value: str | Any) -> None:
+        """Set ``group.attr`` (or bare ``attr``, searched across groups)
+        coercing strings to the field's annotated type."""
+        if "." in dotted:
+            group_name, attr = dotted.split(".", 1)
+            group = getattr(self, group_name)
+            if not hasattr(group, attr):
+                raise KeyError(f"unknown config key: {dotted}")
+            setattr(group, attr, _coerce(group, attr, value))
+            return
+        for group_name in ("paths", "frontend", "model", "train", "mesh"):
+            group = getattr(self, group_name)
+            if hasattr(group, dotted):
+                setattr(group, dotted, _coerce(group, dotted, value))
+                return
+        raise KeyError(f"unknown config key: {dotted}")
+
+    def apply_overrides(self, overrides: list[str]) -> None:
+        """CLI ``key=value`` overrides, e.g. ``model.mix_level=8``."""
+        for item in overrides:
+            key, _, value = item.partition("=")
+            if not _:
+                raise ValueError(f"override must be key=value: {item!r}")
+            self.set_by_path(key.strip(), value.strip())
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _coerce(obj: Any, attr: str, value: Any) -> Any:
+    if not isinstance(value, str):
+        return value
+    current = getattr(obj, attr)
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    return value
