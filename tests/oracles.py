@@ -225,3 +225,40 @@ def viterbi_oracle(transmat, prob, pi, end_state_back=False):
         mark_state[i] = before_index
         before_index = before_state[before_index][i]
     return point, mark_state
+
+
+# ----------------------------------------------------------------------
+# Embedded sentence-HMM oracle (AcousticModel/AcousticModel.py:957-1014)
+# ----------------------------------------------------------------------
+
+def embedded_oracle(unit_transmats, unit_scores, state_num):
+    """Dense sentence HMM the reference way.
+
+    :param unit_transmats: list of [N, N] linear transmats, one per label unit
+    :param unit_scores: list of [emit, T] GMM log-score rows per label unit
+    :returns: (complex_transmat [Ns, Ns] linear, complex_prob [Ns, T] log,
+               complex_pi [Ns] linear)
+    """
+    L = len(unit_transmats)
+    emit = state_num - 2
+    state_size = emit * L + 2
+    t = unit_scores[0].shape[1]
+
+    # transmat (AcousticModel.py:978-988)
+    A = np.zeros((state_size, state_size))
+    A[: state_num - 1, : state_num] = unit_transmats[0][:-1]
+    for i in range(L):
+        a = i * emit + 1
+        b = (i + 1) * emit + 1
+        A[a:b, a - 1: a - 1 + state_num] = unit_transmats[i][1:-1]
+
+    # prob (AcousticModel.py:990-1001): entry row = log(1) = 0,
+    # exit row = log(0) = -inf (VirtualState semantics)
+    rows = [np.zeros((1, t))]
+    for i in range(L):
+        rows.append(unit_scores[i])
+    rows.append(np.full((1, t), -np.inf))
+    prob = np.concatenate(rows, axis=0)
+
+    pi = np.ones((state_size,)) / state_size
+    return A, prob, pi
