@@ -1,0 +1,293 @@
+"""Embedded Baum-Welch sufficient statistics as pure-function pytrees.
+
+Replaces the reference's file-based accumulator machinery:
+``LHMM.update_acc`` scatters sentence-level ksai/gamma windows into each
+sub-HMM and γ-weighted frames into each GMM's log-domain accumulators
+(``LHMM.py:473-507`` → ``Clustering.py:653-680``), which are persisted as
+timestamped ``.npy`` files and folded back with ``matrix_log_sum_exp``
+(``LHMM.py:211-290``, ``Clustering.py:257-367``) — the "file all-reduce"
+(SURVEY.md §2).
+
+Here the statistics are one linear-domain pytree per batch:
+
+* γ-weighted zeroth/first/second moments per (senone, mixture) —
+  ``c``, ``cx``, ``cxx`` (second moments are raw; the covariance update
+  recenters about the *old* mean exactly as ``Clustering.py:677, 688``);
+* transition numerators/denominators scattered from sentence rows back
+  to per-unit (row, col) slots via ``segment_sum``.
+
+Accumulators are associative and commutative, so cross-device reduction
+is a single ``psum`` (``poccala_tpu.parallel``), and cross-batch folding
+is ``jax.tree.map(add)``.  Per-utterance statistics are normalized by
+P(O|λ) (the reference normalizes its GMM stats the same way via the
+per-time state normalizer, ``LHMM.py:488``, but leaves ksai/gamma
+unnormalized — a P(O)-weighting quirk we do not inherit; ratios per
+utterance are identical).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from poccala_tpu.models.senone_bank import SenoneBank
+from poccala_tpu.models.topology import EmbeddedHMM, build_embedded
+from poccala_tpu.ops import hmm as hmm_ops
+from poccala_tpu.ops.gmm_score import gmm_component_logpdf
+from poccala_tpu.utils.logmath import NEG_INF, masked_log
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BwStats:
+    """Linear-domain Baum-Welch sufficient statistics."""
+
+    occ: jax.Array        # [S]        Σ_t γ_t(s)
+    c: jax.Array          # [S, M]     Σ_t γ_t(s, m)
+    cx: jax.Array         # [S, M, D]  Σ_t γ_t(s, m) · x_t
+    cxx: jax.Array        # [S, M, D]  Σ_t γ_t(s, m) · x_t²
+    trans: jax.Array      # [U, N, N]  ξ sums per unit transition
+    trans_den: jax.Array  # [U, N]     Σ_{t<T-1} γ_t per unit state
+    loglik: jax.Array     # scalar     Σ_utt log P(O|λ)
+    n_frames: jax.Array   # scalar     Σ_utt T_true
+    n_utts: jax.Array     # scalar
+
+
+def zero_stats(bank: SenoneBank) -> BwStats:
+    s, m, d = bank.means.shape
+    u, n, _ = bank.log_A.shape
+    z = jnp.zeros
+    return BwStats(
+        occ=z((s,)), c=z((s, m)), cx=z((s, m, d)), cxx=z((s, m, d)),
+        trans=z((u, n, n)), trans_den=z((u, n)),
+        loglik=z(()), n_frames=z(()), n_utts=z(()),
+    )
+
+
+def add_stats(a: BwStats, b: BwStats) -> BwStats:
+    return jax.tree.map(jnp.add, a, b)
+
+
+# ----------------------------------------------------------------------
+# Per-utterance E step
+# ----------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("state_num", "max_label_len", "normalizer")
+)
+def utterance_stats(
+    bank: SenoneBank,
+    label: jax.Array,       # [L_max] int32 unit ids
+    label_len: jax.Array,   # scalar int32
+    x: jax.Array,           # [T, D] features (padded)
+    t_mask: jax.Array,      # [T] bool
+    state_num: int,
+    max_label_len: int,
+    normalizer: str = "textbook",
+) -> tuple[BwStats, jax.Array]:
+    """One utterance's Baum-Welch statistics (the map side of the
+    reference's map-reduce EM step, ``multi_embedded_training_1``,
+    ``AcousticModel.py:884-916``).
+
+    :returns: (stats, log P(O|λ))
+    """
+    emit = state_num - 2
+    s_total, m, d = bank.means.shape
+    u_total, n, _ = bank.log_A.shape
+    t_pad = x.shape[0]
+
+    ehmm = build_embedded(bank, label, label_len, state_num, max_label_len)
+    n_s = ehmm.senone_idx.shape[0]
+    sen = jnp.clip(ehmm.senone_idx, 0, s_total - 1)
+
+    # --- component scores only for this sentence's states (gather keeps
+    # the lattice [T, N_s, M] small instead of [T, S, M])
+    comp = gmm_component_logpdf(
+        x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
+    ) + bank.log_w[sen][None]                       # [T, N_s, M]
+    scores = jax.nn.logsumexp(comp, axis=-1)        # [T, N_s]
+    r = jnp.arange(n_s)
+    is_entry = r == 0
+    is_exit = r == ehmm.n_states - 1
+    emitting = ehmm.senone_idx >= 0
+    log_b = jnp.where(emitting[None, :], scores, NEG_INF)
+    log_b = jnp.where(is_entry[None, :], 0.0, log_b)
+    log_b = jnp.where((is_exit | ~ehmm.state_mask)[None, :], NEG_INF, log_b)
+
+    # --- forward / backward (banded)
+    log_alpha, loglik = hmm_ops.forward_log_banded(
+        ehmm.band, ehmm.log_pi, log_b, t_mask, state_num
+    )
+    log_beta = hmm_ops.backward_log_banded(ehmm.band, log_b, t_mask, state_num)
+
+    # --- state posteriors γ_t(r), normalized by P(O)
+    log_gamma = log_alpha + log_beta - loglik
+    gamma = jnp.where(
+        t_mask[:, None] & ehmm.state_mask[None, :] & (log_gamma > NEG_INF / 2),
+        jnp.exp(jnp.minimum(log_gamma, 0.0)),
+        0.0,
+    )  # [T, N_s]
+
+    # --- GMM statistics (LHMM.update_acc -> GMM.update_acc,
+    #     LHMM.py:497-505, Clustering.py:653-680)
+    # mixture posterior within a state: exp(comp - log_b)
+    comp_post = jnp.exp(
+        jnp.minimum(comp - scores[:, :, None], 0.0)
+    )
+    gamma_rm = gamma[:, :, None] * comp_post        # [T, N_s, M]
+    gamma_rm = jnp.where(emitting[None, :, None], gamma_rm, 0.0)
+    c_r = gamma_rm.sum(axis=0)                      # [N_s, M]
+    cx_r = jnp.einsum("trm,td->rmd", gamma_rm, x)   # [N_s, M, D]
+    cxx_r = jnp.einsum("trm,td->rmd", gamma_rm, x * x)
+    occ_r = jnp.where(emitting, gamma.sum(axis=0), 0.0)  # [N_s]
+
+    seg = jnp.where(emitting, sen, s_total)  # dummy bucket for virtual
+    occ = jax.ops.segment_sum(occ_r, seg, num_segments=s_total + 1)[:s_total]
+    c = jax.ops.segment_sum(c_r, seg, num_segments=s_total + 1)[:s_total]
+    cx = jax.ops.segment_sum(cx_r, seg, num_segments=s_total + 1)[:s_total]
+    cxx = jax.ops.segment_sum(cxx_r, seg, num_segments=s_total + 1)[:s_total]
+
+    # --- transition statistics (LHMM.__maximization cal_ksai/cal_gamma,
+    #     LHMM.py:431-445, normalized by P(O))
+    # ξ_t(r, k) = exp(α_t(r) + band[r,k] + b_{t+1}(r+k) + β_{t+1}(r+k) - logP)
+    t_next_valid = t_mask[1:]  # transition t -> t+1 exists iff t+1 valid
+    s_next = log_b[1:] + log_beta[1:]               # [T-1, N_s]
+    ksai_k = []
+    for k in range(state_num):
+        shifted = jnp.pad(
+            s_next[:, k:], ((0, 0), (0, k)), constant_values=NEG_INF
+        )  # s_next[t, r+k]
+        log_ksai = (
+            log_alpha[:-1] + ehmm.band[None, :, k] + shifted - loglik
+        )
+        ksai = jnp.where(
+            t_next_valid[:, None] & (log_ksai > NEG_INF / 2),
+            jnp.exp(jnp.minimum(log_ksai, 0.0)),
+            0.0,
+        )
+        ksai_k.append(ksai.sum(axis=0))             # [N_s]
+    ksai_rk = jnp.stack(ksai_k, axis=-1)            # [N_s, W]
+
+    # γ denominator over t in [0, T-2] (LHMM.py:442-445)
+    gamma_den_r = (gamma[:-1] * t_next_valid[:, None]).sum(axis=0)  # [N_s]
+
+    # scatter sentence rows -> per-unit (row, col) slots; only emitting
+    # rows update (transmat[1:-1] re-estimation, LHMM.py:519-520)
+    pos = jnp.clip(r - 1, 0, None)
+    local = pos % emit + 1
+    unit = label[jnp.clip(pos // emit, 0, max_label_len - 1)]
+    k_idx = jnp.arange(state_num)[None, :]
+    local_col = local[:, None] + k_idx
+    valid_rk = emitting[:, None] & (local_col < n)
+    flat_idx = unit[:, None] * (n * n) + local[:, None] * n + jnp.clip(
+        local_col, 0, n - 1
+    )
+    flat_idx = jnp.where(valid_rk, flat_idx, u_total * n * n)
+    trans = jax.ops.segment_sum(
+        jnp.where(valid_rk, ksai_rk, 0.0).reshape(-1),
+        flat_idx.reshape(-1),
+        num_segments=u_total * n * n + 1,
+    )[:-1].reshape(u_total, n, n)
+
+    den_idx = jnp.where(emitting, unit * n + local, u_total * n)
+    trans_den = jax.ops.segment_sum(
+        gamma_den_r, den_idx, num_segments=u_total * n + 1
+    )[:-1].reshape(u_total, n)
+
+    stats = BwStats(
+        occ=occ, c=c, cx=cx, cxx=cxx, trans=trans, trans_den=trans_den,
+        loglik=loglik, n_frames=t_mask.sum().astype(jnp.float32),
+        n_utts=jnp.asarray(1.0),
+    )
+    return stats, loglik
+
+
+def batch_stats(
+    bank, labels, label_lens, xs, t_masks, state_num, max_label_len,
+    normalizer: str = "textbook",
+):
+    """vmap + fold of :func:`utterance_stats` over a batch (the
+    ``Pool``-of-utterances map phase, ``AcousticModel.py:861-870``)."""
+    fn = functools.partial(
+        utterance_stats,
+        state_num=state_num,
+        max_label_len=max_label_len,
+        normalizer=normalizer,
+    )
+    stats, logliks = jax.vmap(
+        lambda l, n, x, m: fn(bank, l, n, x, m)
+    )(labels, label_lens, xs, t_masks)
+    total = jax.tree.map(lambda a: a.sum(axis=0), stats)
+    return total, logliks
+
+
+# ----------------------------------------------------------------------
+# M step (parameter re-estimation)
+# ----------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("update_transmat", "update_gmm")
+)
+def apply_update(
+    bank: SenoneBank,
+    stats: BwStats,
+    c_covariance: float = 1e-6,
+    min_occ: float = 1e-3,
+    update_transmat: bool = True,
+    update_gmm: bool = True,
+) -> SenoneBank:
+    """Re-estimate bank parameters from folded statistics (the reduce
+    side: ``LHMM.update_param`` + ``GMM.update_param``,
+    ``LHMM.py:509-524``, ``Clustering.py:682-693``).
+
+    * transitions: ``A[u, 1:-1, :] = ξ/γ`` per row; rows/senones with no
+      occupancy keep their old values (missing-acc no-op guard,
+      ``LHMM.py:267-271, 517-518``);
+    * GMM: ``α = c/occ``, ``μ = cx/c``, ``σ² = Σγ(x-μ_old)²/c`` recentered
+      from raw moments about the *old* mean (``Clustering.py:677, 688``),
+      floored at ``c_covariance`` (``Clustering.py:689-693``);
+    * ``fix_code`` parameter freezing (``LHMM.py:35-36, 140-146``) maps to
+      the ``update_transmat`` / ``update_gmm`` flags (pi is never
+      re-estimated by embedded training in the reference either).
+    """
+    out = bank
+    n = bank.state_num
+
+    if update_transmat:
+        den = stats.trans_den[:, :, None]
+        row_ok = den > min_occ
+        a_new = jnp.where(row_ok, stats.trans / jnp.maximum(den, min_occ), 0.0)
+        log_a_new = masked_log(a_new)
+        # only emitting rows update
+        row_idx = jnp.arange(n)[None, :, None]
+        is_emit_row = (row_idx >= 1) & (row_idx <= n - 2)
+        log_a = jnp.where(is_emit_row & row_ok, log_a_new, bank.log_A)
+        out = dataclasses.replace(out, log_A=log_a)
+
+    if update_gmm:
+        occ_ok = stats.occ > min_occ                     # [S]
+        c_ok = stats.c > min_occ                         # [S, M]
+        c_safe = jnp.maximum(stats.c, min_occ)[..., None]
+
+        mean_new = stats.cx / c_safe
+        mu_old = bank.means
+        var_new = (
+            stats.cxx - 2.0 * mu_old * stats.cx + mu_old * mu_old * stats.c[..., None]
+        ) / c_safe
+        var_new = jnp.maximum(var_new, c_covariance)
+
+        upd = occ_ok[:, None, None] & c_ok[..., None]
+        means = jnp.where(upd, mean_new, bank.means)
+        log_var = jnp.where(upd, jnp.log(var_new), bank.log_var)
+
+        alpha_new = stats.c / jnp.maximum(stats.occ, min_occ)[:, None]
+        log_w_new = masked_log(alpha_new)
+        active = bank.log_w > NEG_INF / 2
+        log_w = jnp.where(occ_ok[:, None] & c_ok & active, log_w_new, bank.log_w)
+        out = dataclasses.replace(out, means=means, log_var=log_var, log_w=log_w)
+
+    return out
