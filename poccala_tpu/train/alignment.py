@@ -1,0 +1,185 @@
+"""Viterbi forced alignment and frame grouping for scheme-1 training.
+
+Replaces the reference's per-utterance alignment path
+(``multi_process_data``, ``AcousticModel.py:723-768``): build the
+sentence HMM, Viterbi-align, drop failed utterances, and collect each
+unit's frames — plus the per-state equal splitting that feeds GMM
+training (``__eq_segment``/``__get_gmmdata``, ``AcousticModel.py:587-644``).
+
+Alignment runs batched on device; the ragged regrouping of frames into
+per-senone buckets is host-side numpy (inherently data-dependent), done
+once per epoch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poccala_tpu.models.senone_bank import SenoneBank
+from poccala_tpu.models.topology import build_embedded, embedded_log_b
+from poccala_tpu.ops import hmm as hmm_ops
+from poccala_tpu.ops.gmm_score import gmm_component_logpdf
+from poccala_tpu.utils.logmath import NEG_INF
+
+
+@functools.partial(
+    jax.jit, static_argnames=("state_num", "max_label_len", "normalizer")
+)
+def align_utterance(
+    bank: SenoneBank,
+    label: jax.Array,
+    label_len: jax.Array,
+    x: jax.Array,
+    t_mask: jax.Array,
+    state_num: int,
+    max_label_len: int,
+    normalizer: str = "textbook",
+):
+    """Viterbi-align one utterance against its sentence HMM.
+
+    :returns: (score, label_pos ``[T]`` — per-frame index into the label
+        sequence (-1 on virtual states / padding), loglik-style score)
+    """
+    s_total = bank.means.shape[0]
+    ehmm = build_embedded(bank, label, label_len, state_num, max_label_len)
+    sen = jnp.clip(ehmm.senone_idx, 0, s_total - 1)
+    comp = gmm_component_logpdf(
+        x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
+    ) + bank.log_w[sen][None]
+    scores = jax.nn.logsumexp(comp, axis=-1)
+    r = jnp.arange(ehmm.senone_idx.shape[0])
+    log_b = jnp.where((ehmm.senone_idx >= 0)[None, :], scores, NEG_INF)
+    log_b = jnp.where((r == 0)[None, :], 0.0, log_b)
+    log_b = jnp.where(
+        ((r == ehmm.n_states - 1) | ~ehmm.state_mask)[None, :], NEG_INF, log_b
+    )
+    score, path, _ = hmm_ops.viterbi_log_banded(
+        ehmm.band, ehmm.log_pi, log_b, t_mask, state_num
+    )
+    emit = state_num - 2
+    pos = (path - 1) // emit
+    is_emit = (path >= 1) & (path < ehmm.n_states - 1) & t_mask
+    label_pos = jnp.where(is_emit, pos, -1).astype(jnp.int32)
+    return score, label_pos
+
+
+def align_batch(bank, labels, label_lens, xs, t_masks, state_num,
+                max_label_len, normalizer: str = "textbook"):
+    """vmap of :func:`align_utterance`."""
+    fn = functools.partial(
+        align_utterance,
+        state_num=state_num,
+        max_label_len=max_label_len,
+        normalizer=normalizer,
+    )
+    return jax.vmap(lambda l, n, x, m: fn(bank, l, n, x, m))(
+        labels, label_lens, xs, t_masks
+    )
+
+
+# ----------------------------------------------------------------------
+# Host-side frame grouping
+# ----------------------------------------------------------------------
+
+def uniform_label_pos(label_lens: np.ndarray, t_masks: np.ndarray) -> np.ndarray:
+    """Uniform segmentation (``__eq_segment`` mode 'e',
+    ``AcousticModel.py:605-612``): frame t of an utterance with L label
+    units and T frames maps to label position ``min(t // (T // L), L-1)``
+    — the reference gives ``T // L`` frames to each unit and drops the
+    remainder; we assign the remainder to the last unit instead of
+    discarding frames."""
+    b, t_pad = t_masks.shape
+    label_pos = np.full((b, t_pad), -1, np.int32)
+    for i in range(b):
+        t_true = int(t_masks[i].sum())
+        l = max(int(label_lens[i]), 1)
+        chunk = max(t_true // l, 1)
+        pos = np.minimum(np.arange(t_true) // chunk, l - 1)
+        label_pos[i, :t_true] = pos
+    return label_pos
+
+
+def check_alignment(label_pos: np.ndarray, labels: np.ndarray,
+                    label_lens: np.ndarray) -> np.ndarray:
+    """Per-utterance alignment sanity (``AcousticModel.py:751-757``): the
+    aligned path must visit at least as many distinct units as the label
+    contains; failures are dropped with a warning upstream."""
+    b = label_pos.shape[0]
+    ok = np.zeros(b, bool)
+    for i in range(b):
+        lp = label_pos[i]
+        visited = lp[lp >= 0]
+        units_seen = set(labels[i][p] for p in np.unique(visited))
+        units_want = set(labels[i][: label_lens[i]].tolist())
+        ok[i] = len(units_seen) >= len(units_want)
+    return ok
+
+
+def group_frames_by_senone(
+    xs: np.ndarray,
+    labels: np.ndarray,
+    label_lens: np.ndarray,
+    label_pos: np.ndarray,
+    num_senones: int,
+    emit_states: int,
+    max_frames_per_senone: int,
+    utt_ok: np.ndarray | None = None,
+    rng: np.random.Generator | None = None,
+):
+    """Build fixed-shape per-senone frame buckets for grouped k-means/EM.
+
+    For each utterance and each contiguous run of one label position (one
+    unit occurrence), the run's frames are split equally across the
+    unit's emitting states (``__eq_segment`` mode 'g' + ``__get_gmmdata``,
+    ``AcousticModel.py:613-644``) and appended to the owning senone's
+    bucket.  Buckets overflowing ``max_frames_per_senone`` are subsampled
+    uniformly (a capacity cap the Python reference does not need; flagged
+    per the no-silent-caps rule by the returned ``n_dropped``).
+
+    :returns: (frames ``[S, F, D]`` float32, mask ``[S, F]`` bool,
+        n_dropped int)
+    """
+    b, t_pad, d = xs.shape
+    buckets: list[list[np.ndarray]] = [[] for _ in range(num_senones)]
+    for i in range(b):
+        if utt_ok is not None and not utt_ok[i]:
+            continue
+        lp = label_pos[i]
+        valid = np.where(lp >= 0)[0]
+        if valid.size == 0:
+            continue
+        # contiguous runs of equal label position = unit occurrences
+        splits = np.where(np.diff(lp[valid]) != 0)[0] + 1
+        for run in np.split(valid, splits):
+            pos = lp[run[0]]
+            unit = labels[i][pos]
+            frames = xs[i][run]
+            n = len(frames)
+            chunk = n // emit_states
+            start = 0
+            for e in range(emit_states):
+                end = start + chunk if e < emit_states - 1 else n
+                if end > start:
+                    buckets[unit * emit_states + e].append(frames[start:end])
+                start += chunk
+
+    out = np.zeros((num_senones, max_frames_per_senone, d), np.float32)
+    mask = np.zeros((num_senones, max_frames_per_senone), bool)
+    n_dropped = 0
+    if rng is None:
+        rng = np.random.default_rng(0)
+    for s in range(num_senones):
+        if not buckets[s]:
+            continue
+        frames = np.concatenate(buckets[s], axis=0)
+        if len(frames) > max_frames_per_senone:
+            n_dropped += len(frames) - max_frames_per_senone
+            sel = rng.choice(len(frames), max_frames_per_senone, replace=False)
+            frames = frames[sel]
+        out[s, : len(frames)] = frames
+        mask[s, : len(frames)] = True
+    return out, mask, n_dropped

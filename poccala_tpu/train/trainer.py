@@ -1,0 +1,308 @@
+"""Training orchestration: the two schemes of the reference's
+``Task.auto`` (``Controller.py:161-202``), TPU-batched.
+
+Scheme 1 (``Controller.py:167-173``, isolated-word style):
+  1. init: uniform segmentation collects per-unit data
+     (``__eq_segment`` mode 'e'); per-senone GMMs are k-means-initialized
+     and EM-trained (``multi_training`` → ``__cal_gmm``), with optional
+     SMEM on the init round (``AcousticModel.py:835``);
+  2. re-estimation: Viterbi forced alignment re-collects data
+     (``multi_process_data``), GMM EM re-runs; mixtures may grow between
+     rounds, forcing k-means re-clustering (``AcousticModel.py:552-558``);
+  3. each round ends with embedded training that re-estimates *only* the
+     transition matrices (fix_code=2, ``AcousticModel.py:789-803``).
+
+Scheme 2 (``Controller.py:174-178``, continuous-speech style):
+  flat start (global mean/cov for every GMM) then embedded Baum-Welch
+  over sentence HMMs, all parameters free (fix_code=0).
+
+The map-reduce structure of both schemes (utterance map → accumulator
+files → unit reduce, SURVEY.md §3.2) is here a vmapped E-step plus a
+pytree fold; the file all-reduce becomes ``add_stats``/``psum``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poccala_tpu.config import Config
+from poccala_tpu.io.corpus import Batch, UnitInventory
+from poccala_tpu.models import senone_bank as sb
+from poccala_tpu.ops import em as em_ops
+from poccala_tpu.ops import kmeans as km_ops
+from poccala_tpu.train import accumulators as acc
+from poccala_tpu.train import alignment as align
+from poccala_tpu.utils.errors import ModeError
+from poccala_tpu.utils.logging import get_logger
+from poccala_tpu.utils.logmath import masked_log
+
+
+class Trainer:
+    """Single-host trainer over a senone bank.
+
+    Multi-device data parallelism wraps the E-step via
+    :mod:`poccala_tpu.parallel`; this class is the sequential driver.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        inventory: UnitInventory,
+        key: jax.Array | None = None,
+        logger: logging.Logger | None = None,
+    ):
+        self.cfg = cfg
+        self.inventory = inventory
+        self.log = logger or get_logger("trainer", cfg.paths.env_id)
+        self.key = key if key is not None else jax.random.PRNGKey(cfg.train.seed)
+        self.bank = sb.create_bank(
+            len(inventory), cfg.model, cfg.frontend.feat_dim, key=self._next_key()
+        )
+        self.mix_level = cfg.model.mix_level
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    @property
+    def state_num(self) -> int:
+        return self.cfg.model.state_num
+
+    @property
+    def emit_states(self) -> int:
+        return self.state_num - 2
+
+    # ------------------------------------------------------------------
+    # Flat start (scheme 2 init)
+    # ------------------------------------------------------------------
+
+    def flat_start(self, batches: Sequence[Batch]) -> None:
+        """Global mean/variance from a data subsample, broadcast to every
+        senone (``__flat_start``, ``AcousticModel.py:479-517``):
+        ``proportion`` of utterances, every ``step``-th frame."""
+        tcfg = self.cfg.train
+        n_take = max(1, int(len(batches) * tcfg.proportion))
+        frames = []
+        for batch in batches[:n_take]:
+            f = batch.feats[batch.t_masks]
+            frames.append(f[:: tcfg.step])
+        x = np.concatenate(frames, axis=0)
+        mean = jnp.asarray(x.mean(axis=0))
+        var = jnp.asarray(np.maximum(x.var(axis=0), 1e-4))
+        self.bank = sb.flat_start(
+            self.bank, mean, var, self._next_key(),
+            coefficient=tcfg.coefficient,
+            differentiation=tcfg.differentiation,
+        )
+        self.log.info("flat start: %d frames -> global mean/cov", len(x))
+
+    # ------------------------------------------------------------------
+    # Scheme 2: embedded Baum-Welch epoch
+    # ------------------------------------------------------------------
+
+    def scheme2_epoch(self, batches: Iterable[Batch],
+                      update_gmm: bool = True,
+                      update_transmat: bool = True) -> float:
+        """One full embedded-BW EM step over the corpus
+        (``embedded_training``, ``AcousticModel.py:842-882``)."""
+        total = acc.zero_stats(self.bank)
+        for batch in batches:
+            stats, _ = acc.batch_stats(
+                self.bank,
+                jnp.asarray(batch.labels), jnp.asarray(batch.label_lens),
+                jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
+                self.state_num, self.cfg.train.max_label_len,
+                normalizer=self.cfg.model.gaussian_normalizer,
+            )
+            total = acc.add_stats(total, stats)
+        self.bank = acc.apply_update(
+            self.bank, total,
+            c_covariance=self.cfg.model.c_covariance,
+            update_transmat=update_transmat,
+            update_gmm=update_gmm,
+        )
+        ll = float(total.loglik)
+        n = max(float(total.n_utts), 1.0)
+        self.log.info(
+            "embedded BW epoch: loglik=%.2f (%.2f/utt over %d utts)",
+            ll, ll / n, int(n),
+        )
+        return ll
+
+    # ------------------------------------------------------------------
+    # Scheme 1: segmentation / alignment + per-senone GMM training
+    # ------------------------------------------------------------------
+
+    def _collect_frames(self, batches: Sequence[Batch], init: bool):
+        """Per-senone frame buckets from uniform segmentation (init) or
+        Viterbi alignment (re-estimation)."""
+        num_senones = self.bank.num_states
+        all_x, all_labels, all_lens, all_pos, all_ok = [], [], [], [], []
+        for batch in batches:
+            if init:
+                label_pos = align.uniform_label_pos(
+                    batch.label_lens, batch.t_masks
+                )
+                ok = np.ones(len(batch.feats), bool)
+            else:
+                _, lp = align.align_batch(
+                    self.bank,
+                    jnp.asarray(batch.labels), jnp.asarray(batch.label_lens),
+                    jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
+                    self.state_num, self.cfg.train.max_label_len,
+                    normalizer=self.cfg.model.gaussian_normalizer,
+                )
+                label_pos = np.asarray(lp)
+                ok = align.check_alignment(
+                    label_pos, batch.labels, batch.label_lens
+                )
+                if not ok.all():
+                    self.log.warning(
+                        "viterbi alignment failed for %d/%d utterances "
+                        "(discarded)", int((~ok).sum()), len(ok),
+                    )
+            all_x.append(batch.feats)
+            all_labels.append(batch.labels)
+            all_lens.append(batch.label_lens)
+            all_pos.append(label_pos)
+            all_ok.append(ok)
+
+        # bucket capacity: generous share of the total frame budget
+        total_frames = sum(int(b.t_masks.sum()) for b in batches)
+        cap = max(256, min(8192, 4 * total_frames // max(num_senones, 1)))
+        xs = np.concatenate(all_x)
+        frames, mask, dropped = align.group_frames_by_senone(
+            xs, np.concatenate(all_labels), np.concatenate(all_lens),
+            np.concatenate(all_pos), num_senones, self.emit_states,
+            max_frames_per_senone=cap,
+            utt_ok=np.concatenate(all_ok),
+            rng=np.random.default_rng(int(self._next_key()[0])),
+        )
+        if dropped:
+            self.log.warning(
+                "senone frame buckets overflowed: %d frames subsampled away "
+                "(cap=%d)", dropped, cap,
+            )
+        return frames, mask
+
+    def fit_gmms(self, frames: np.ndarray, mask: np.ndarray,
+                 reinit: bool, smem: bool = False) -> None:
+        """k-means (re)init + grouped EM over all senones
+        (``__cal_gmm``, ``AcousticModel.py:532-561``).
+
+        Senones with fewer frames than the mixture count keep their old
+        parameters (``AcousticModel.py:549-551``)."""
+        mix = self.mix_level
+        bank = self.bank
+        counts = mask.sum(axis=1)
+        enough = jnp.asarray(counts >= max(mix, 2))
+        frames_j = jnp.asarray(frames)
+        mask_j = jnp.asarray(mask)
+
+        means = bank.means[:, : bank.max_mix]
+        log_var = bank.log_var
+        log_w = bank.log_w
+
+        if reinit:
+            kres = km_ops.kmeans_grouped(
+                self._next_key(), frames_j, mask_j, k=mix
+            )
+            pad = bank.max_mix - mix
+            km_means = jnp.pad(kres["means"], ((0, 0), (0, pad), (0, 0)))
+            km_logvar = jnp.pad(
+                jnp.log(kres["variances"]), ((0, 0), (0, pad), (0, 0))
+            )
+            km_logw = masked_log(jnp.pad(kres["alpha"], ((0, 0), (0, pad))))
+            sel = enough[:, None, None]
+            means = jnp.where(sel, km_means, means)
+            log_var = jnp.where(sel, km_logvar, log_var)
+            log_w = jnp.where(enough[:, None], km_logw, log_w)
+
+        mix_mask = jnp.arange(bank.max_mix)[None, :] < mix
+        mix_mask = jnp.tile(mix_mask, (bank.num_states, 1))
+        params, q, iters = em_ops.em_fit_grouped(
+            means, log_var, log_w,
+            frames_j, mask_j, mix_mask,
+            c_covariance=self.cfg.model.c_covariance,
+            converge_delta=self.cfg.train.gmm_converge_delta,
+            max_iters=self.cfg.train.max_em_iters,
+            normalizer=self.cfg.model.gaussian_normalizer,
+        )
+        sel = enough[:, None, None]
+        self.bank = dataclasses.replace(
+            bank,
+            means=jnp.where(sel, params.means, bank.means),
+            log_var=jnp.where(sel, params.log_var, bank.log_var),
+            log_w=jnp.where(enough[:, None], params.log_w, bank.log_w),
+            mix_counts=jnp.where(
+                enough, mix, bank.mix_counts
+            ).astype(jnp.int32),
+        )
+        if smem:
+            from poccala_tpu.train.smem import smem_pass
+
+            self.bank, n_accepted = smem_pass(
+                self, frames, mask, np.asarray(enough)
+            )
+            if n_accepted:
+                self.log.info("SMEM: %d split-merge moves accepted", n_accepted)
+
+    def scheme1_round(self, batches: Sequence[Batch], init: bool,
+                      smem: bool | None = None) -> float:
+        """One scheme-1 round: (re)segment → GMM training → embedded
+        transmat re-estimation (``Task.auto`` mode-1 body,
+        ``Controller.py:190-196``)."""
+        reinit = init or bool(
+            np.any(np.asarray(self.bank.mix_counts) != self.mix_level)
+        )
+        frames, mask = self._collect_frames(batches, init=init)
+        if smem is None:
+            smem = init and self.cfg.train.smem
+        self.fit_gmms(frames, mask, reinit=reinit, smem=smem)
+        # embedded training with GMMs locked (fix_code=2)
+        return self.scheme2_epoch(batches, update_gmm=False)
+
+    # ------------------------------------------------------------------
+    # Mixture growth (Controller.add_mix_level, Controller.py:153-159)
+    # ------------------------------------------------------------------
+
+    def add_mix_level(self) -> None:
+        if self.mix_level < self.cfg.model.max_mix_level:
+            self.mix_level += 1
+            self.log.info("mixture level -> %d", self.mix_level)
+
+    # ------------------------------------------------------------------
+    # Auto loop (Task.auto, Controller.py:161-202)
+    # ------------------------------------------------------------------
+
+    def auto(self, batches: Sequence[Batch], t: int = 1, mode: int = 1,
+             init: bool = True, add_mix: bool = False) -> list[float]:
+        logliks = []
+        for round_idx in range(t):
+            t0 = time.time()
+            if mode == 1:
+                ll = self.scheme1_round(batches, init=init)
+            elif mode == 2:
+                if init:
+                    self.flat_start(batches)
+                ll = self.scheme2_epoch(batches)
+            else:
+                raise ModeError(f"unknown training scheme: {mode}")
+            logliks.append(ll)
+            self.history.append({
+                "mode": mode, "round": round_idx, "loglik": ll,
+                "mix_level": self.mix_level, "seconds": time.time() - t0,
+            })
+            if add_mix and mode == 1:
+                self.add_mix_level()
+            init = False
+        return logliks
