@@ -1,0 +1,189 @@
+"""Device meshes and collective reductions for distributed training.
+
+TPU-native replacement for the reference's entire distributed layer
+(SURVEY.md §2 "parallelism strategies" / "distributed communication
+backend"):
+
+* multi-machine **data parallelism over utterances** (audio path shards,
+  ``Controller.split_data``, ``Controller.py:79-106``) → the ``data``
+  mesh axis: each device takes a slice of the utterance batch;
+* multi-machine **model parallelism over units** (trainInfo complements,
+  ``Controller.split_unit``, ``Controller.py:47-77``) → the ``state``
+  mesh axis: the senone bank's GMM tensors shard over senones when they
+  exceed one chip's HBM;
+* the **file all-reduce** of EM accumulators (timestamped ``.npy`` files
+  folded with ``matrix_log_sum_exp``, ``LHMM.py:211-290``,
+  ``Clustering.py:257-367``) → one ``jax.lax.psum`` of the linear-domain
+  statistics pytree over ICI;
+* per-machine ``multiprocessing.Pool`` fan-out (``AcousticModel.py:708,
+  790, 861``) → ``vmap`` inside each shard;
+* ``Pool.join()`` barriers (``AcousticModel.py:714, 797, 870``) → the
+  implicit barrier of the psum;
+* multi-host process groups (the reference's by-hand ``ENV_ID`` machine
+  identities, ``config.ini:26``) → ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from poccala_tpu.train import accumulators as acc
+
+try:  # jax >= 0.5 exposes shard_map at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+
+def make_mesh(
+    data_axis: int = -1,
+    state_axis: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ``(data, state)`` mesh.
+
+    :param data_axis: devices on the utterance-batch axis (-1: all
+        remaining devices)
+    :param state_axis: devices sharding the senone bank
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data_axis == -1:
+        assert n % state_axis == 0, (n, state_axis)
+        data_axis = n // state_axis
+    assert data_axis * state_axis == n, (data_axis, state_axis, n)
+    arr = np.asarray(devices).reshape(data_axis, state_axis)
+    return Mesh(arr, ("data", "state"))
+
+
+def init_multihost(coordinator: str | None = None, num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Join the multi-host process group (replaces the shared-directory
+    machine coordination keyed by ``ENV_ID``, ``Controller.py:116-120``)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+# ----------------------------------------------------------------------
+# Sharding placements
+# ----------------------------------------------------------------------
+
+def replicate_bank(bank, mesh: Mesh):
+    """Replicate the bank across the mesh (fits-on-one-chip case)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(bank, sharding)
+
+
+def shard_bank_states(bank, mesh: Mesh):
+    """Shard the GMM tensors over the ``state`` axis (senone banks larger
+    than one chip's HBM — BASELINE.json config 4).  Transition tensors
+    are tiny and stay replicated."""
+    import dataclasses
+
+    gmm_spec = NamedSharding(mesh, P("state"))
+    rep = NamedSharding(mesh, P())
+    return dataclasses.replace(
+        bank,
+        means=jax.device_put(bank.means, gmm_spec),
+        log_var=jax.device_put(bank.log_var, gmm_spec),
+        log_w=jax.device_put(bank.log_w, gmm_spec),
+        mix_counts=jax.device_put(bank.mix_counts, gmm_spec),
+        log_A=jax.device_put(bank.log_A, rep),
+        log_pi=jax.device_put(bank.log_pi, rep),
+    )
+
+
+def pad_batch_for_mesh(arrays: tuple, mesh: Mesh):
+    """Pad the leading (batch) dim of each array to a multiple of the
+    ``data`` axis size; padded utterances get empty masks / zero label
+    lengths so they contribute nothing to the psum'd statistics."""
+    n_data = mesh.shape["data"]
+    b = arrays[0].shape[0]
+    pad = (-b) % n_data
+    if pad == 0:
+        return arrays, b
+    out = []
+    for a in arrays:
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(np.pad(np.asarray(a), widths))
+    return tuple(out), b
+
+
+# ----------------------------------------------------------------------
+# Parallel E-step
+# ----------------------------------------------------------------------
+
+def make_parallel_estep(
+    mesh: Mesh,
+    state_num: int,
+    max_label_len: int,
+    normalizer: str = "textbook",
+):
+    """Build the jitted data-parallel E-step.
+
+    Inside each shard: vmapped per-utterance embedded-BW statistics
+    (:func:`poccala_tpu.train.accumulators.batch_stats`); across shards:
+    ``psum`` over the ``data`` axis — the reference's accumulator-file
+    fold as a single ICI collective.
+
+    Padded utterances (``label_len == 0``) produce all-zero statistics:
+    their sentence HMM has no emitting states, so every mask is False.
+    """
+
+    def shard_fn(bank, labels, lens, xs, masks):
+        stats, logliks = acc.batch_stats(
+            bank, labels, lens, xs, masks, state_num, max_label_len,
+            normalizer=normalizer,
+        )
+        stats = jax.tree.map(lambda a: jax.lax.psum(a, "data"), stats)
+        return stats, logliks
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P(), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_parallel_train_step(
+    mesh: Mesh,
+    state_num: int,
+    max_label_len: int,
+    c_covariance: float = 1e-6,
+    normalizer: str = "textbook",
+    update_transmat: bool = True,
+    update_gmm: bool = True,
+):
+    """Full distributed EM step: parallel E-step + replicated M-step.
+
+    Returns a jitted ``(bank, labels, lens, xs, masks) -> (bank', loglik)``.
+    """
+    estep = make_parallel_estep(mesh, state_num, max_label_len, normalizer)
+
+    @jax.jit
+    def step(bank, labels, lens, xs, masks):
+        stats, _ = estep(bank, labels, lens, xs, masks)
+        new_bank = acc.apply_update(
+            bank, stats,
+            c_covariance=c_covariance,
+            update_transmat=update_transmat,
+            update_gmm=update_gmm,
+        )
+        return new_bank, stats.loglik
+
+    return step

@@ -221,7 +221,12 @@ def batch_stats(
     stats, logliks = jax.vmap(
         lambda l, n, x, m: fn(bank, l, n, x, m)
     )(labels, label_lens, xs, t_masks)
-    total = jax.tree.map(lambda a: a.sum(axis=0), stats)
+    # batch-padding utterances (label_len == 0) contribute nothing
+    real = (label_lens > 0).astype(jnp.float32)
+    total = jax.tree.map(
+        lambda a: (a * real.reshape((-1,) + (1,) * (a.ndim - 1))).sum(axis=0),
+        stats,
+    )
     return total, logliks
 
 

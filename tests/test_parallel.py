@@ -1,0 +1,116 @@
+"""Distributed E-step tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from poccala_tpu.parallel import mesh as pmesh
+from poccala_tpu.train import accumulators as acc
+
+from .test_senone_topology import make_bank
+
+
+def synth_arrays(rng, bank, b=8, t=20, max_l=3):
+    labels = rng.integers(0, bank.num_units, size=(b, max_l)).astype(np.int32)
+    lens = rng.integers(1, max_l + 1, size=(b,)).astype(np.int32)
+    xs = rng.normal(size=(b, t, bank.dim)).astype(np.float32)
+    masks = np.ones((b, t), bool)
+    return labels, lens, xs, masks
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        m = pmesh.make_mesh(data_axis=-1, state_axis=2)
+        assert m.shape["data"] == 4 and m.shape["state"] == 2
+        m2 = pmesh.make_mesh(data_axis=8, state_axis=1)
+        assert m2.shape["data"] == 8
+
+    def test_pad_batch(self):
+        m = pmesh.make_mesh(data_axis=8, state_axis=1)
+        arrays = (np.ones((5, 3)), np.ones((5,)))
+        (a, b), n = pmesh.pad_batch_for_mesh(arrays, m)
+        assert a.shape == (8, 3) and b.shape == (8,) and n == 5
+        assert np.all(a[5:] == 0)
+
+
+class TestParallelEstep:
+    def test_psum_equals_sequential(self, rng):
+        """The 8-way sharded E-step must produce bit-close statistics to
+        the single-device fold (the file all-reduce equivalence)."""
+        cfg, bank = make_bank(rng, num_units=3, state_num=5, mix=2,
+                              max_mix=2, dim=5)
+        labels, lens, xs, masks = synth_arrays(rng, bank)
+        mesh = pmesh.make_mesh(data_axis=8, state_axis=1)
+        bank_r = pmesh.replicate_bank(bank, mesh)
+        estep = pmesh.make_parallel_estep(mesh, cfg.state_num, 3)
+        stats_p, logliks = estep(
+            bank_r, jnp.asarray(labels), jnp.asarray(lens),
+            jnp.asarray(xs), jnp.asarray(masks),
+        )
+        stats_s, _ = acc.batch_stats(
+            bank, jnp.asarray(labels), jnp.asarray(lens),
+            jnp.asarray(xs), jnp.asarray(masks), cfg.state_num, 3,
+        )
+        for name in ("occ", "c", "cx", "cxx", "trans", "trans_den",
+                     "loglik", "n_frames", "n_utts"):
+            got = np.asarray(getattr(stats_p, name))
+            want = np.asarray(getattr(stats_s, name))
+            assert np.allclose(got, want, rtol=1e-4, atol=1e-4), name
+
+    def test_padded_utterances_contribute_nothing(self, rng):
+        cfg, bank = make_bank(rng, num_units=3, state_num=5, mix=2,
+                              max_mix=2, dim=5)
+        labels, lens, xs, masks = synth_arrays(rng, bank, b=5)
+        mesh = pmesh.make_mesh(data_axis=8, state_axis=1)
+        (labels_p, lens_p, xs_p, masks_p), n = pmesh.pad_batch_for_mesh(
+            (labels, lens, xs, masks), mesh
+        )
+        assert n == 5 and labels_p.shape[0] == 8
+        estep = pmesh.make_parallel_estep(mesh, cfg.state_num, 3)
+        stats_p, _ = estep(
+            pmesh.replicate_bank(bank, mesh),
+            jnp.asarray(labels_p), jnp.asarray(lens_p),
+            jnp.asarray(xs_p), jnp.asarray(masks_p),
+        )
+        stats_s, _ = acc.batch_stats(
+            bank, jnp.asarray(labels), jnp.asarray(lens),
+            jnp.asarray(xs), jnp.asarray(masks), cfg.state_num, 3,
+        )
+        assert np.allclose(float(stats_p.loglik), float(stats_s.loglik), rtol=1e-5)
+        assert float(stats_p.n_utts) == 5.0
+        assert np.allclose(
+            np.asarray(stats_p.c), np.asarray(stats_s.c), rtol=1e-4, atol=1e-4
+        )
+
+    def test_full_train_step_improves(self, rng):
+        cfg, bank = make_bank(rng, num_units=3, state_num=5, mix=2,
+                              max_mix=2, dim=5)
+        labels, lens, xs, masks = synth_arrays(rng, bank, b=16, t=24)
+        mesh = pmesh.make_mesh(data_axis=4, state_axis=2)
+        step = pmesh.make_parallel_train_step(mesh, cfg.state_num, 3)
+        b1, ll1 = step(pmesh.replicate_bank(bank, mesh),
+                       jnp.asarray(labels), jnp.asarray(lens),
+                       jnp.asarray(xs), jnp.asarray(masks))
+        b2, ll2 = step(b1, jnp.asarray(labels), jnp.asarray(lens),
+                       jnp.asarray(xs), jnp.asarray(masks))
+        assert float(ll2) > float(ll1)
+
+    def test_state_sharded_bank_scores(self, rng):
+        """Full-bank scoring with the GMM tensors sharded over the state
+        axis (config-4 layout): jit inserts the collectives; results must
+        match the replicated computation."""
+        from poccala_tpu.ops import gmm_score
+
+        cfg, bank = make_bank(rng, num_units=4, state_num=5, mix=2,
+                              max_mix=2, dim=8)
+        mesh = pmesh.make_mesh(data_axis=4, state_axis=2)
+        bank_sh = pmesh.shard_bank_states(bank, mesh)
+        x = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+        want = gmm_score.gmm_log_scores(x, bank.means, bank.log_var, bank.log_w)
+        got = gmm_score.gmm_log_scores(
+            x, bank_sh.means, bank_sh.log_var, bank_sh.log_w
+        )
+        assert np.allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
