@@ -77,7 +77,9 @@ def add_stats(a: BwStats, b: BwStats) -> BwStats:
 # ----------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("state_num", "max_label_len", "normalizer")
+    jax.jit,
+    static_argnames=("state_num", "max_label_len", "normalizer",
+                     "count_final_exit"),
 )
 def utterance_stats(
     bank: SenoneBank,
@@ -88,10 +90,22 @@ def utterance_stats(
     state_num: int,
     max_label_len: int,
     normalizer: str = "textbook",
+    count_final_exit: bool = True,
 ) -> tuple[BwStats, jax.Array]:
     """One utterance's Baum-Welch statistics (the map side of the
     reference's map-reduce EM step, ``multi_embedded_training_1``,
     ``AcousticModel.py:884-916``).
+
+    ``count_final_exit``: the sentence exit state carries -inf emission
+    (``VirtualState(0.)``, ``AcousticModel.py:219``), so in the
+    reference's scheme the exit transition of sentence-final units is
+    never observed and Baum-Welch drives their exit probability to zero
+    — syllables then can never end during decoding (a latent defect of
+    the reference).  With the flag on (default) we count the HTK-style
+    final-frame flow into the exit state, ``ξ(r→exit) ∝ α_{T-1}(r) ·
+    a(r→exit)``, with matching final-frame occupancy in the denominator;
+    transition rows are renormalized at update time.  Set False to
+    reproduce the reference's statistics exactly.
 
     :returns: (stats, log P(O|λ))
     """
@@ -175,6 +189,26 @@ def utterance_stats(
     # γ denominator over t in [0, T-2] (LHMM.py:442-445)
     gamma_den_r = (gamma[:-1] * t_next_valid[:, None]).sum(axis=0)  # [N_s]
 
+    if count_final_exit:
+        # final-frame exit flow (see docstring).  Padded timesteps carry
+        # the last valid alpha forward, so log_alpha[-1] == α_{T_true-1}.
+        alpha_last = log_alpha[-1]
+        k_off = jnp.arange(state_num)[None, :]
+        into_exit = (jnp.arange(n_s)[:, None] + k_off) == (ehmm.n_states - 1)
+        log_ksai_exit = alpha_last[:, None] + ehmm.band - loglik
+        ksai_exit = jnp.where(
+            into_exit & (log_ksai_exit > NEG_INF / 2),
+            jnp.exp(jnp.minimum(log_ksai_exit, 0.0)),
+            0.0,
+        )
+        ksai_rk = ksai_rk + ksai_exit
+        gamma_last = jnp.where(
+            (alpha_last - loglik) > NEG_INF / 2,
+            jnp.exp(jnp.minimum(alpha_last - loglik, 0.0)),
+            0.0,
+        )
+        gamma_den_r = gamma_den_r + gamma_last
+
     # scatter sentence rows -> per-unit (row, col) slots; only emitting
     # rows update (transmat[1:-1] re-estimation, LHMM.py:519-520)
     pos = jnp.clip(r - 1, 0, None)
@@ -208,7 +242,7 @@ def utterance_stats(
 
 def batch_stats(
     bank, labels, label_lens, xs, t_masks, state_num, max_label_len,
-    normalizer: str = "textbook",
+    normalizer: str = "textbook", count_final_exit: bool = True,
 ):
     """vmap + fold of :func:`utterance_stats` over a batch (the
     ``Pool``-of-utterances map phase, ``AcousticModel.py:861-870``)."""
@@ -217,6 +251,7 @@ def batch_stats(
         state_num=state_num,
         max_label_len=max_label_len,
         normalizer=normalizer,
+        count_final_exit=count_final_exit,
     )
     stats, logliks = jax.vmap(
         lambda l, n, x, m: fn(bank, l, n, x, m)
@@ -266,6 +301,10 @@ def apply_update(
         den = stats.trans_den[:, :, None]
         row_ok = den > min_occ
         a_new = jnp.where(row_ok, stats.trans / jnp.maximum(den, min_occ), 0.0)
+        # renormalize rows: exact stochasticity under the final-exit
+        # counting (and guards accumulation drift either way)
+        rowsum = a_new.sum(axis=-1, keepdims=True)
+        a_new = jnp.where(rowsum > 0, a_new / jnp.maximum(rowsum, 1e-30), a_new)
         log_a_new = masked_log(a_new)
         # only emitting rows update
         row_idx = jnp.arange(n)[None, :, None]

@@ -112,6 +112,7 @@ class TestUtteranceStats:
         stats, ll = acc.utterance_stats(
             bank, jnp.asarray(label_pad), jnp.asarray(3), jnp.asarray(x),
             jnp.ones(t, bool), cfg.state_num, max_l,
+            count_final_exit=False,  # oracle replicates the reference
         )
         want = oracle_stats(bank, label, np.asarray(x, np.float64), cfg.state_num)
         assert np.allclose(float(ll), want["loglik"], rtol=1e-4)
