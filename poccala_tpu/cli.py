@@ -1,0 +1,275 @@
+"""Command-line driver.
+
+Replaces the reference's ``Controller.py`` ``__main__`` flow (train) and
+``Decoder.main`` (serve) with explicit subcommands:
+
+* ``train``      — Task.auto equivalent (schemes 1/2, mixture growth,
+                   round-granular checkpoint/resume)
+* ``align``      — Viterbi forced alignment over a corpus
+* ``decode``     — WAV(s) → word hypotheses via the beam decoder
+* ``export-ref`` / ``import-ref`` — reference parameter-layout interop
+* ``synth-corpus`` — generate a synthetic WAV corpus
+* ``build-lexicon`` — word list → pronunciation-lexicon pickle
+* ``train-lm``   — text → N-gram counts
+
+The reference has no CLI (config only); SURVEY.md §5 lists that as a gap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_config(args) -> "Config":
+    from poccala_tpu.config import Config
+
+    cfg = Config.from_ini(args.config) if args.config else Config()
+    if args.set:
+        cfg.apply_overrides(args.set)
+    return cfg
+
+
+def _load_inventory(cfg, args):
+    from poccala_tpu.io.corpus import UnitInventory
+
+    if args.units and os.path.exists(args.units):
+        return UnitInventory.from_file(args.units)
+    kind = args.units or cfg.model.unit_type
+    return UnitInventory.standard(kind)
+
+
+def cmd_train(args):
+    import jax
+    from poccala_tpu.io.corpus import Corpus
+    from poccala_tpu.train import checkpoint as ckpt
+    from poccala_tpu.train.trainer import Trainer
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    corpus = Corpus(cfg, inv)
+    print(f"corpus: {len(corpus.pairs)} utterances, {len(inv)} units",
+          file=sys.stderr)
+    batches = list(corpus.batches())
+    tr = Trainer(cfg, inv)
+
+    start_round = 0
+    if args.resume and args.checkpoint and os.path.isdir(args.checkpoint):
+        tr.bank, manifest = ckpt.load_checkpoint(args.checkpoint)
+        tr.mix_level = manifest.get("mix_level", tr.mix_level)
+        start_round = manifest.get("round", 0)
+        print(f"resumed at round {start_round}", file=sys.stderr)
+
+    init = args.init and start_round == 0
+    for r in range(start_round, args.epochs):
+        lls = tr.auto(batches, t=1, mode=args.mode, init=init,
+                      add_mix=args.add_mix)
+        init = False
+        print(f"round {r}: loglik={lls[0]:.2f}", file=sys.stderr)
+        if args.checkpoint:
+            ckpt.save_checkpoint(
+                args.checkpoint, tr.bank,
+                {"round": r + 1, "mode": args.mode, "mix_level": tr.mix_level},
+                units=inv.units,
+            )
+    if args.history:
+        with open(args.history, "w") as f:
+            json.dump(tr.history, f, indent=2)
+
+
+def cmd_align(args):
+    import jax.numpy as jnp
+    from poccala_tpu.io.corpus import Corpus
+    from poccala_tpu.train import alignment as align
+    from poccala_tpu.train import checkpoint as ckpt
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    bank, _ = ckpt.load_checkpoint(args.checkpoint)
+    corpus = Corpus(cfg, inv)
+    for batch in corpus.batches():
+        scores, lp = align.align_batch(
+            bank, jnp.asarray(batch.labels), jnp.asarray(batch.label_lens),
+            jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
+            cfg.model.state_num, cfg.train.max_label_len,
+        )
+        lp = np.asarray(lp)
+        for i in range(len(lp)):
+            units = [inv.units[batch.labels[i][p]] if p >= 0 else "-"
+                     for p in lp[i][np.asarray(batch.t_masks[i])]]
+            print(json.dumps({"score": float(scores[i]), "frames": units},
+                             ensure_ascii=False))
+
+
+def cmd_decode(args):
+    from poccala_tpu.decoder import BeamDecoder
+    from poccala_tpu.io import wav as wav_io
+    from poccala_tpu.io.corpus import UnitInventory
+    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
+    from poccala_tpu.ops import vad as vad_ops
+    from poccala_tpu.ops.frontend import Frontend
+    from poccala_tpu.train import checkpoint as ckpt
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    bank, _ = ckpt.load_checkpoint(args.checkpoint)
+    lex = PronunciationLexicon()
+    lex.load(args.lexicon)
+    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    lm = None
+    if args.lm:
+        from poccala_tpu.lm import Ngram
+
+        lm = Ngram(args.lm_order)
+        lm.init_gram(args.lm)
+    dec = BeamDecoder(bank, flat, beam=args.beam, lm=lm,
+                      normalizer=cfg.model.gaussian_normalizer)
+    fe = Frontend(cfg.frontend)
+    for path in args.wavs:
+        data, _ = wav_io.load_wav(path)
+        sig = wav_io.preprocess_signal(
+            data, drop_zeros=cfg.frontend.reference_quirks)
+        feats, mask = fe.mfcc(sig)
+        if cfg.frontend.vad:
+            keep = vad_ops.vad_mask(feats, mask)
+        else:
+            keep = mask
+        packed, n = vad_ops.apply_mask(feats, keep)
+        hyps = dec.decode(packed[:n])
+        print(json.dumps({
+            "wav": path,
+            "nbest": [{"words": list(h.words), "score": h.score}
+                      for h in hyps],
+        }, ensure_ascii=False))
+
+
+def cmd_export_ref(args):
+    from poccala_tpu.train import checkpoint as ckpt
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    bank, _ = ckpt.load_checkpoint(args.checkpoint)
+    ckpt.export_reference_layout(args.out, bank, inv, cfg.model.unit_type)
+    print(f"exported to {args.out}/{cfg.model.unit_type}", file=sys.stderr)
+
+
+def cmd_import_ref(args):
+    from poccala_tpu.train import checkpoint as ckpt
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    bank = ckpt.import_reference_layout(
+        args.src, inv, cfg.model.unit_type, cfg.model.state_num,
+        cfg.model.max_mix_level,
+    )
+    ckpt.save_checkpoint(args.checkpoint, bank, {"imported": args.src},
+                         units=inv.units)
+    print(f"imported into {args.checkpoint}", file=sys.stderr)
+
+
+def cmd_synth_corpus(args):
+    from poccala_tpu.io.corpus import generate_synthetic_corpus
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    audio, label = generate_synthetic_corpus(
+        args.out, inv, num_utts=args.num_utts, seed=cfg.train.seed)
+    print(json.dumps({"audio_dir": audio, "label_dir": label}))
+
+
+def cmd_build_lexicon(args):
+    from poccala_tpu.lexicon import PinYin, PronunciationLexicon
+
+    pinyin = PinYin(args.mandarin_dat) if args.mandarin_dat else PinYin()
+    with open(args.words) as f:
+        words = [w.strip() for w in f if w.strip()]
+    lex = PronunciationLexicon()
+    lex.generate(words, pinyin)
+    lex.save(args.out)
+    print(f"lexicon: {lex.size} words -> {args.out}", file=sys.stderr)
+
+
+def cmd_train_lm(args):
+    from poccala_tpu.lm import Ngram
+
+    lm = Ngram(args.order)
+    with open(args.text) as f:
+        sentences = [line.split() for line in f if line.strip()]
+    lm.train(sentences)
+    lm.save(args.out)
+    print(f"lm: {len(sentences)} sentences -> {args.out}", file=sys.stderr)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="poccala-tpu")
+    p.add_argument("--config", help="INI config (reference layout)")
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="config override (repeatable)")
+    p.add_argument("--units", help="unit file path or inventory kind "
+                                   "(IF/XIF/XIF_tone)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train")
+    t.add_argument("--mode", type=int, default=2, choices=(1, 2))
+    t.add_argument("--epochs", type=int, default=1)
+    t.add_argument("--init", action="store_true", default=True)
+    t.add_argument("--no-init", dest="init", action="store_false")
+    t.add_argument("--add-mix", action="store_true")
+    t.add_argument("--checkpoint")
+    t.add_argument("--resume", action="store_true")
+    t.add_argument("--history")
+    t.set_defaults(fn=cmd_train)
+
+    a = sub.add_parser("align")
+    a.add_argument("--checkpoint", required=True)
+    a.set_defaults(fn=cmd_align)
+
+    d = sub.add_parser("decode")
+    d.add_argument("--checkpoint", required=True)
+    d.add_argument("--lexicon", required=True)
+    d.add_argument("--lm")
+    d.add_argument("--lm-order", type=int, default=2)
+    d.add_argument("--beam", type=float, default=0.85)
+    d.add_argument("wavs", nargs="+")
+    d.set_defaults(fn=cmd_decode)
+
+    e = sub.add_parser("export-ref")
+    e.add_argument("--checkpoint", required=True)
+    e.add_argument("--out", required=True)
+    e.set_defaults(fn=cmd_export_ref)
+
+    i = sub.add_parser("import-ref")
+    i.add_argument("--src", required=True)
+    i.add_argument("--checkpoint", required=True)
+    i.set_defaults(fn=cmd_import_ref)
+
+    s = sub.add_parser("synth-corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--num-utts", type=int, default=32)
+    s.set_defaults(fn=cmd_synth_corpus)
+
+    b = sub.add_parser("build-lexicon")
+    b.add_argument("--words", required=True)
+    b.add_argument("--mandarin-dat")
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=cmd_build_lexicon)
+
+    lm = sub.add_parser("train-lm")
+    lm.add_argument("--text", required=True)
+    lm.add_argument("--order", type=int, default=2)
+    lm.add_argument("--out", required=True)
+    lm.set_defaults(fn=cmd_train_lm)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

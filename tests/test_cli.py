@@ -1,0 +1,108 @@
+"""CLI end-to-end: synth corpus -> train -> align -> lexicon -> decode."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from poccala_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("cli"))
+
+
+def run(capsys, *argv):
+    cli.main(list(argv))
+    return capsys.readouterr().out
+
+
+UNITS_ARGS = None  # set in test via file
+
+
+class TestCliPipeline:
+    def test_full_pipeline(self, workdir, capsys):
+        units_file = os.path.join(workdir, "units")
+        with open(units_file, "w") as f:
+            f.write("test units\nn,i3,h,ao3,m,a1\n")
+
+        # 1. synthetic corpus
+        out = run(capsys, "--units", units_file, "synth-corpus",
+                  "--out", workdir, "--num-utts", "12")
+        dirs = json.loads(out)
+        assert os.path.isdir(dirs["audio_dir"])
+
+        common = [
+            "--units", units_file,
+            "--set", f"paths.audio_file_path={dirs['audio_dir']}",
+            "--set", f"paths.label_file_path={dirs['label_dir']}",
+            "--set", "train.load_line=0",
+            "--set", "frontend.vad=false",
+            "--set", "model.mix_level=1",
+            "--set", "model.max_mix_level=2",
+            "--set", "train.max_frames=256",
+            "--set", "train.batch_size=6",
+            "--set", "train.proportion=1.0",
+            "--set", "train.step=4",
+        ]
+        ckpt_dir = os.path.join(workdir, "ckpt")
+
+        # 2. train (scheme 2, 2 rounds)
+        run(capsys, *common, "train", "--mode", "2", "--epochs", "2",
+            "--checkpoint", ckpt_dir,
+            "--history", os.path.join(workdir, "hist.json"))
+        assert os.path.exists(os.path.join(ckpt_dir, "bank.npz"))
+        hist = json.load(open(os.path.join(workdir, "hist.json")))
+        assert len(hist) == 2 and hist[1]["loglik"] > hist[0]["loglik"]
+
+        # 3. resume training (scheme 1 round on top)
+        run(capsys, *common, "train", "--mode", "1", "--epochs", "3",
+            "--no-init", "--checkpoint", ckpt_dir, "--resume")
+
+        # 4. align
+        out = run(capsys, *common, "align", "--checkpoint", ckpt_dir)
+        lines = [json.loads(l) for l in out.strip().splitlines()]
+        assert len(lines) == 12
+        assert all(np.isfinite(l["score"]) for l in lines)
+
+        # 5. lexicon from word list (built-in G2P table)
+        words_file = os.path.join(workdir, "words.txt")
+        with open(words_file, "w") as f:
+            f.write("你好\n你\n马\n")
+        lex_path = os.path.join(workdir, "lex.pkl")
+        run(capsys, *common, "build-lexicon", "--words", words_file,
+            "--out", lex_path)
+        assert os.path.exists(lex_path)
+
+        # 6. LM
+        lm_text = os.path.join(workdir, "text.txt")
+        with open(lm_text, "w") as f:
+            f.write("你好 马\n你好\n")
+        lm_path = os.path.join(workdir, "lm.json")
+        run(capsys, *common, "train-lm", "--text", lm_text,
+            "--out", lm_path)
+
+        # 7. decode a corpus wav (smoke: hypotheses structurally valid)
+        wav = os.path.join(dirs["audio_dir"], "utt00000.wav")
+        out = run(capsys, *common, "decode", "--checkpoint", ckpt_dir,
+                  "--lexicon", lex_path, "--lm", lm_path, wav)
+        result = json.loads(out)
+        assert result["wav"] == wav
+        assert isinstance(result["nbest"], list)
+
+        # 8. reference-layout export/import round trip
+        ref_dir = os.path.join(workdir, "refparams")
+        run(capsys, *common, "--set", "model.unit_type=TESTUNITS",
+            "export-ref", "--checkpoint", ckpt_dir, "--out", ref_dir)
+        assert os.path.isdir(os.path.join(ref_dir, "TESTUNITS", "n", "HMM"))
+        ckpt2 = os.path.join(workdir, "ckpt2")
+        run(capsys, *common, "--set", "model.unit_type=TESTUNITS",
+            "import-ref", "--src", ref_dir, "--checkpoint", ckpt2)
+        from poccala_tpu.train import checkpoint as ck
+
+        bank1, _ = ck.load_checkpoint(ckpt_dir)
+        bank2, _ = ck.load_checkpoint(ckpt2)
+        assert np.allclose(np.asarray(bank1.log_A), np.asarray(bank2.log_A),
+                           atol=1e-5)
