@@ -46,7 +46,7 @@ def main():
     inv = UnitInventory.standard("XIF")  # 62 units
     num_units = len(inv)
 
-    batch = 64
+    batch = 256
     utt_seconds = 4.0
     rate = cfg.frontend.sample_rate
     n_samples = int(utt_seconds * rate)

@@ -110,10 +110,13 @@ class BeamDecoder:
 
     # ------------------------------------------------------------------
     def _frame_scores(self, feats) -> np.ndarray:
-        """All-frames × all-senones GMM scores on device."""
+        """All-frames × all-senones GMM scores on device (Pallas fused
+        kernel on TPU, XLA elsewhere)."""
         import jax.numpy as jnp
 
-        scores = gmm_log_scores(
+        from poccala_tpu.ops.pallas.gmm_score_tpu import gmm_log_scores_fast
+
+        scores = gmm_log_scores_fast(
             jnp.asarray(feats), self.bank.means, self.bank.log_var,
             self.bank.log_w, normalizer=self.normalizer,
         )
