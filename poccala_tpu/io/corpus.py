@@ -189,8 +189,21 @@ class Corpus:
         label_ids = self.inventory.encode(names)
         return packed, n, label_ids
 
-    def batches(self, batch_size: int | None = None, drop_last: bool = False):
-        """Yield :class:`Batch` objects over the (sharded) corpus."""
+    def batches(self, batch_size: int | None = None, drop_last: bool = False,
+                use_native: bool | None = None):
+        """Yield :class:`Batch` objects over the (sharded) corpus.
+
+        With the native loader available (``use_native=None`` auto), WAV
+        decoding runs in the C++ thread pool and the MFCC+VAD pipeline
+        runs batched on device; otherwise falls back to per-utterance
+        loading."""
+        if use_native is None:
+            from poccala_tpu import native
+
+            use_native = native.available()
+        if use_native:
+            yield from self._batches_native(batch_size, drop_last)
+            return
         bs = batch_size or self.cfg.train.batch_size
         t_max = self.cfg.train.max_frames
         l_max = self.cfg.train.max_label_len
@@ -207,6 +220,64 @@ class Corpus:
                 yield self._pack(buf, bs, t_max, l_max, d)
                 buf = []
         if buf and not drop_last:
+            yield self._pack(buf, bs, t_max, l_max, d)
+
+    def _batches_native(self, batch_size: int | None, drop_last: bool):
+        """Native batch WAV load + batched device frontend."""
+        import jax.numpy as jnp
+
+        from poccala_tpu import native
+
+        fcfg = self.cfg.frontend
+        bs = batch_size or self.cfg.train.batch_size
+        t_max = self.cfg.train.max_frames
+        l_max = self.cfg.train.max_label_len
+        d = fcfg.feat_dim
+        max_samples = (t_max - 1) * fcfg.frame_step + fcfg.frame_size
+
+        for start in range(0, len(self.pairs), bs):
+            chunk = self.pairs[start: start + bs]
+            if len(chunk) < bs and drop_last:
+                break
+            labels_ok, label_ids = [], []
+            for _, label_path in chunk:
+                try:
+                    names = read_label(label_path, self.cfg.train.load_line)
+                    label_ids.append(self.inventory.encode(names))
+                    labels_ok.append(True)
+                except (KeyError, FileNotFoundError, IndexError):
+                    label_ids.append([])
+                    labels_ok.append(False)
+            signals, lengths, _ = native.load_wav_batch(
+                [p for p, _ in chunk], max_samples,
+                drop_zeros=fcfg.reference_quirks,
+            )
+            keep = [i for i in range(len(chunk))
+                    if labels_ok[i] and lengths[i] > fcfg.frame_size]
+            if not keep:
+                continue
+            signals = signals[keep]
+            lengths = lengths[keep]
+            label_ids = [label_ids[i] for i in keep]
+            feats, masks = self.frontend.mfcc_batch(
+                jnp.asarray(signals), jnp.asarray(lengths.astype(np.int64))
+            )
+            if fcfg.vad:
+                keep_masks = vad_ops.vad_mask_batch(
+                    feats, masks,
+                    sample_size=fcfg.vad_sample_size,
+                    alpha=fcfg.vad_alpha, beta=fcfg.vad_beta,
+                )
+            else:
+                keep_masks = masks
+            feats_np = np.asarray(feats)
+            keep_np = np.asarray(keep_masks)
+            buf = []
+            for i in range(len(feats_np)):
+                packed, n = vad_ops.apply_mask(
+                    feats_np[i], keep_np[i], max_frames=t_max
+                )
+                buf.append((packed, n, label_ids[i]))
             yield self._pack(buf, bs, t_max, l_max, d)
 
     @staticmethod
