@@ -57,7 +57,11 @@ class Trainer:
         inventory: UnitInventory,
         key: jax.Array | None = None,
         logger: logging.Logger | None = None,
+        mesh=None,
     ):
+        """:param mesh: optional ``jax.sharding.Mesh`` with a ``data``
+        axis — the E-step then runs data-parallel with psum'd statistics
+        (:mod:`poccala_tpu.parallel`)."""
         self.cfg = cfg
         self.inventory = inventory
         self.log = logger or get_logger("trainer", cfg.paths.env_id)
@@ -67,6 +71,16 @@ class Trainer:
         )
         self.mix_level = cfg.model.mix_level
         self.history: list[dict] = []
+        self.mesh = mesh
+        self._parallel_estep = None
+        if mesh is not None:
+            from poccala_tpu.parallel import make_parallel_estep, replicate_bank
+
+            self._parallel_estep = make_parallel_estep(
+                mesh, cfg.model.state_num, cfg.train.max_label_len,
+                normalizer=cfg.model.gaussian_normalizer,
+            )
+            self.bank = replicate_bank(self.bank, mesh)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -116,13 +130,24 @@ class Trainer:
         (``embedded_training``, ``AcousticModel.py:842-882``)."""
         total = acc.zero_stats(self.bank)
         for batch in batches:
-            stats, _ = acc.batch_stats(
-                self.bank,
-                jnp.asarray(batch.labels), jnp.asarray(batch.label_lens),
-                jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
-                self.state_num, self.cfg.train.max_label_len,
-                normalizer=self.cfg.model.gaussian_normalizer,
-            )
+            if self._parallel_estep is not None:
+                from poccala_tpu.parallel import pad_batch_for_mesh
+
+                arrays, _ = pad_batch_for_mesh(
+                    (batch.labels, batch.label_lens, batch.feats,
+                     batch.t_masks), self.mesh,
+                )
+                stats, _ = self._parallel_estep(
+                    self.bank, *(jnp.asarray(a) for a in arrays)
+                )
+            else:
+                stats, _ = acc.batch_stats(
+                    self.bank,
+                    jnp.asarray(batch.labels), jnp.asarray(batch.label_lens),
+                    jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
+                    self.state_num, self.cfg.train.max_label_len,
+                    normalizer=self.cfg.model.gaussian_normalizer,
+                )
             total = acc.add_stats(total, stats)
         self.bank = acc.apply_update(
             self.bank, total,
