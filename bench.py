@@ -4,7 +4,12 @@ Measures the BASELINE.json metric — training (embedded Baum-Welch EM
 E+M step) plus Viterbi forced alignment, including the MFCC frontend —
 on synthetic Mandarin-shaped data at roughly BASELINE config 2 scale
 (3 emitting states, 8-mixture 39-dim GMMs, the full XIF pinyin unit set,
-batch-64 utterances).
+batch-256 utterances).
+
+All timed iterations run inside one jitted ``lax.scan`` so host↔device
+dispatch latency (large through this environment's tunnel) is not
+measured; synchronization is forced by fetching a scalar that depends on
+every iteration's outputs.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "audio-s/s", "vs_baseline": N}
@@ -52,54 +57,50 @@ def main():
     n_samples = int(utt_seconds * rate)
     max_label_len = 16
     state_num = cfg.model.state_num
+    iters = 8
 
     rng = np.random.default_rng(0)
-    signals = (rng.normal(size=(batch, n_samples)) * 2000).astype(np.float32)
-    n_samp = np.full((batch,), n_samples, np.int64)
-    labels = rng.integers(0, num_units, size=(batch, max_label_len)).astype(np.int32)
-    lens = rng.integers(max_label_len // 2, max_label_len + 1,
-                        size=(batch,)).astype(np.int32)
+    signals = jnp.asarray(
+        (rng.normal(size=(batch, n_samples)) * 2000).astype(np.float32))
+    n_samp = jnp.asarray(np.full((batch,), n_samples, np.int64))
+    labels = jnp.asarray(
+        rng.integers(0, num_units, size=(batch, max_label_len)).astype(np.int32))
+    lens = jnp.asarray(
+        rng.integers(max_label_len // 2, max_label_len + 1,
+                     size=(batch,)).astype(np.int32))
 
     fe = Frontend(cfg.frontend)
     bank = sb.create_bank(num_units, cfg.model, cfg.frontend.feat_dim,
                           key=jax.random.PRNGKey(0))
     log(f"bank: {bank.num_states} senones x {bank.max_mix} mix x {bank.dim} dim")
 
-    # ---- build the jitted pipeline pieces
-    signals_j = jnp.asarray(signals)
-    n_samp_j = jnp.asarray(n_samp)
-    labels_j = jnp.asarray(labels)
-    lens_j = jnp.asarray(lens)
-
-    def train_align_step(bank, feats, masks):
+    def one_epoch(bank, _):
+        """frontend -> embedded-BW E+M -> Viterbi alignment."""
+        feats, masks = jax.vmap(fe._mfcc_impl)(signals, n_samp)
         stats, _ = acc.batch_stats(
-            bank, labels_j, lens_j, feats, masks, state_num, max_label_len
+            bank, labels, lens, feats, masks, state_num, max_label_len
         )
         new_bank = acc.apply_update(bank, stats)
-        _, label_pos = align.align_batch(
-            new_bank, labels_j, lens_j, feats, masks, state_num, max_label_len
+        scores, label_pos = align.align_batch(
+            new_bank, labels, lens, feats, masks, state_num, max_label_len
         )
-        return new_bank, stats.loglik, label_pos
+        probe = stats.loglik + jnp.sum(scores) + jnp.sum(label_pos)
+        return new_bank, probe
 
-    step = jax.jit(train_align_step)
+    @jax.jit
+    def run(bank):
+        new_bank, probes = jax.lax.scan(one_epoch, bank, None, length=iters)
+        return new_bank, jnp.sum(probes)
 
-    # ---- warmup (compile)
+    # ---- warmup (compile + one full execution, synced via scalar fetch)
     t0 = time.time()
-    feats, masks = fe.mfcc_batch(signals_j, n_samp_j)
-    feats.block_until_ready()
-    log(f"frontend compile+run: {time.time()-t0:.1f}s  feats {feats.shape}")
-    t0 = time.time()
-    bank, ll, lp = step(bank, feats, masks)
-    jax.block_until_ready((bank, ll, lp))
-    log(f"train+align compile+run: {time.time()-t0:.1f}s loglik={float(ll):.1f}")
+    _, probe = run(bank)
+    log(f"compile+run: {time.time()-t0:.1f}s probe={float(probe):.3e}")
 
-    # ---- timed runs
-    iters = 5
+    # ---- timed
     t0 = time.time()
-    for _ in range(iters):
-        feats, masks = fe.mfcc_batch(signals_j, n_samp_j)
-        bank, ll, lp = step(bank, feats, masks)
-    jax.block_until_ready((bank, ll, lp))
+    _, probe = run(bank)
+    _ = float(probe)  # forces execution of all iterations
     elapsed = time.time() - t0
 
     audio_seconds = batch * utt_seconds * iters

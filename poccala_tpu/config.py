@@ -40,6 +40,10 @@ class FrontendConfig:
     frame_time_s: float = 0.025     # 25 ms frames (AudioProcessing.py:201)
     frame_overlap: float = 0.5      # 50% hop    (AudioProcessing.py:201)
     nfft: int = 512                 # rFFT size  (AudioProcessing.py:249)
+    # compute |rFFT| as two MXU matmuls against DFT basis matrices
+    # instead of the XLA FFT op (~2.6x faster on TPU for these sizes,
+    # matches rfft to ~1e-4 relative)
+    matmul_dft: bool = True
     pre_emphasis: float = 0.98      # (AudioProcessing.py:184)
     hamming_alpha: float = 0.46     # (AudioProcessing.py:228)
     num_filters: int = 26           # mel filters (AudioProcessing.py:280)

@@ -126,6 +126,16 @@ class Frontend:
             self._window = jnp.asarray(w.astype(np.float32))
         else:
             self._window = None
+        if cfg.matmul_dft:
+            # DFT basis restricted to the first frame_size input rows
+            # (the rFFT zero-pads frames to nfft)
+            k = (
+                np.arange(cfg.nfft)[:, None]
+                * np.arange(cfg.nfft // 2 + 1)[None, :]
+                * 2.0 * np.pi / cfg.nfft
+            )[: cfg.frame_size]
+            self._dft_cos = jnp.asarray(np.cos(k).astype(np.float32))
+            self._dft_sin = jnp.asarray(np.sin(k).astype(np.float32))
         self._mfcc_single = jax.jit(self._mfcc_impl)
         self._mfcc_batched = jax.jit(jax.vmap(self._mfcc_impl))
 
@@ -175,8 +185,14 @@ class Frontend:
         else:
             win = frames * self._window[None, :]
 
-        # |rFFT| (AudioProcessing.py:248-264)
-        spec = jnp.abs(jnp.fft.rfft(win, n=cfg.nfft, axis=-1))  # [T, nfft//2+1]
+        # |rFFT| (AudioProcessing.py:248-264); as DFT matmuls on the MXU
+        # when cfg.matmul_dft (identical to ~1e-4 relative)
+        if cfg.matmul_dft:
+            re = jnp.dot(win, self._dft_cos, preferred_element_type=jnp.float32)
+            im = jnp.dot(win, self._dft_sin, preferred_element_type=jnp.float32)
+            spec = jnp.sqrt(re * re + im * im)  # [T, nfft//2+1]
+        else:
+            spec = jnp.abs(jnp.fft.rfft(win, n=cfg.nfft, axis=-1))
 
         # Frame energy (AudioProcessing.py:338: sum of magnitudes; textbook
         # mode uses power)
