@@ -113,6 +113,10 @@ class TrainConfig:
     task_num: int = 1               # machines / hosts (init.py:28)
     processes: int = 1              # per-host workers (init.py:31)
     load_line: int = 0              # label line in .trn files (init.py:32)
+    # 'units': labels are unit sequences (the reference's format);
+    # 'pinyin': labels are toned pinyin syllables (THCHS-30 style),
+    # converted to units via the G2P transforms
+    label_format: str = "units" 
     batch_size: int = 32            # utterances per device batch (new: TPU batching)
     max_frames: int = 512           # per-utterance frame budget (padded/bucketed)
     max_label_len: int = 32         # per-utterance unit budget (padded)

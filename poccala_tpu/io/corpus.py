@@ -166,6 +166,21 @@ class Corpus:
             pairs = shard_pairs(pairs, cfg.paths.env_id, cfg.train.task_num)
         self.pairs = pairs
         self.frontend = Frontend(cfg.frontend)
+        self._pinyin = None
+        if cfg.train.label_format == "pinyin":
+            from poccala_tpu.lexicon.pinyin import PinYin
+
+            self._pinyin = PinYin()
+
+    def _encode_label(self, names: list[str]) -> list[int]:
+        """Label tokens -> unit ids, converting pinyin syllables to
+        units first in 'pinyin' label format (THCHS-30 style)."""
+        if self._pinyin is not None:
+            units: list[str] = []
+            for syl in names:
+                units.extend(self._pinyin.syllable_to_units(syl))
+            names = units
+        return self.inventory.encode(names)
 
     def load_utterance(self, wav_path: str, label_path: str):
         data, rate = wav_io.load_wav(wav_path)
@@ -186,7 +201,7 @@ class Corpus:
             feats, keep, max_frames=self.cfg.train.max_frames
         )
         names = read_label(label_path, self.cfg.train.load_line)
-        label_ids = self.inventory.encode(names)
+        label_ids = self._encode_label(names)
         return packed, n, label_ids
 
     def batches(self, batch_size: int | None = None, drop_last: bool = False,
@@ -243,7 +258,7 @@ class Corpus:
             for _, label_path in chunk:
                 try:
                     names = read_label(label_path, self.cfg.train.load_line)
-                    label_ids.append(self.inventory.encode(names))
+                    label_ids.append(self._encode_label(names))
                     labels_ok.append(True)
                 except (KeyError, FileNotFoundError, IndexError):
                     label_ids.append([])

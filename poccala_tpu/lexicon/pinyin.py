@@ -142,6 +142,21 @@ class PinYin:
             tone = tone[:-1]
         return tone
 
+    def convert_syllable(self, syllable: str, separate: bool = True,
+                         check_tone: bool = True, extend: bool = True,
+                         show_tone_mark: bool = True) -> str:
+        """Apply the transliteration transforms to a bare toned pinyin
+        syllable (e.g. ``"lv4" -> "l,v4"``, ``"yi1" -> "#_I,i1"``) — the
+        label alphabet of THCHS-30-style transcripts, which carry pinyin
+        syllables rather than unit sequences."""
+        return self._convert(syllable, separate, check_tone, extend,
+                             show_tone_mark)
+
+    def syllable_to_units(self, syllable: str) -> list[str]:
+        """Toned pinyin syllable -> acoustic unit list, e.g.
+        ``"zhong1" -> ["zh", "ong1"]``."""
+        return self.convert_syllable(syllable).split(",")
+
     def units_of(self, string: str) -> list[list[list[str]]] | None:
         """Per-character unit sequences: each reading split into its
         ``[initial, final]`` (or ``[final]``) unit list — the decoder's
