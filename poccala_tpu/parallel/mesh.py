@@ -105,6 +105,23 @@ def shard_bank_states(bank, mesh: Mesh):
     )
 
 
+def distribute_batch(mesh: Mesh, arrays: tuple, global_batch: int):
+    """Assemble globally-sharded batch arrays from per-process local
+    shards (multi-host: each host contributes its ``pathInfo`` slice,
+    ``Controller.py:79-106``).  ``arrays`` hold this process's rows; the
+    leading dim of the result is ``global_batch``."""
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        sharding = NamedSharding(mesh, P("data"))
+        out.append(
+            jax.make_array_from_process_local_data(
+                sharding, a, (global_batch,) + a.shape[1:]
+            )
+        )
+    return tuple(out)
+
+
 def pad_batch_for_mesh(arrays: tuple, mesh: Mesh):
     """Pad the leading (batch) dim of each array to a multiple of the
     ``data`` axis size; padded utterances get empty masks / zero label

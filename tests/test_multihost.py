@@ -1,0 +1,45 @@
+"""Multi-host (2-process) distributed E-step equivalence.
+
+Replaces the reference's shared-directory multi-machine simulation
+(SURVEY.md §4: N jobs with different ENV_ID on one box,
+``Controller.py:22-32``) with real ``jax.distributed`` process groups
+over CPU devices: two processes, 4 virtual devices each, one global
+(data=8) mesh; statistics must match the single-process run.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def run_workers(nproc: int, tmp_path) -> list[dict]:
+    procs, outs = [], []
+    env = {k: v for k, v in os.environ.items()}
+    for pid in range(nproc):
+        out = str(tmp_path / f"result_{nproc}_{pid}.json")
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(nproc), out],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        ))
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    return [json.load(open(o)) for o in outs]
+
+
+@pytest.mark.slow
+class TestMultiHost:
+    def test_two_process_psum_matches_single(self, tmp_path):
+        single = run_workers(1, tmp_path)[0]
+        double = run_workers(2, tmp_path)
+        assert double[0]["global_devices"] == 8
+        for key in ("loglik", "occ_sum", "trans_sum", "cx_checksum", "n_utts"):
+            assert np.isclose(double[0][key], single[key], rtol=1e-4), key
+            assert np.isclose(double[1][key], single[key], rtol=1e-4), key
