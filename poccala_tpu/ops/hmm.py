@@ -130,6 +130,39 @@ def viterbi_log(log_A, log_pi, log_b, t_mask):
     return score, path, delta_last
 
 
+@jax.jit
+def forward_log_assoc(log_A, log_pi, log_b):
+    """Forward algorithm via ``associative_scan`` — O(log T) depth.
+
+    The forward recursion is a product of (logsumexp, +)-semiring
+    operators ``M_t[i, j] = log_A[i, j] + log_b[t, j]``; prefix products
+    give every ``log_alpha`` row at once.  O(T·N³) work instead of
+    O(T·N²), but parallel over time — the right trade for very long
+    audio on wide hardware (SURVEY.md §5 "long-context": time-parallel
+    scan replaces sequence-axis sharding in this model family).
+
+    :returns: (``log_alpha [T, N]``, ``loglik``), matching
+        :func:`forward_log` on unmasked inputs.
+    """
+    t, n = log_b.shape
+
+    def combine(m1, m2):
+        # (m1 ∘ m2)[i, j] = LSE_k(m1[i, k] + m2[k, j]); batched [.., N, N]
+        return _clamp(
+            jax.nn.logsumexp(m1[..., :, :, None] + m2[..., None, :, :],
+                             axis=-2)
+        )
+
+    ops = log_A[None, :, :] + log_b[1:, None, :]       # [T-1, N, N]
+    prefix = jax.lax.associative_scan(combine, ops, axis=0)
+    alpha0 = log_pi + log_b[0]
+    tail = _clamp(
+        jax.nn.logsumexp(alpha0[None, :, None] + prefix, axis=1)
+    )  # [T-1, N]
+    log_alpha = jnp.concatenate([alpha0[None], tail], axis=0)
+    return log_alpha, _lse(log_alpha[-1], axis=-1)
+
+
 # ======================================================================
 # Banded (left-to-right) kernels
 # ======================================================================

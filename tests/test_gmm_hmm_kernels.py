@@ -239,3 +239,37 @@ class TestBandedKernels:
         la1, ll1 = hmm.forward_log_banded(band[1], log_pi[1], log_bs[1], masks[1], w)
         assert np.allclose(float(ll[1]), float(ll1), rtol=1e-6)
         assert np.allclose(np.asarray(la[1]), np.asarray(la1), rtol=1e-5)
+
+
+class TestAssociativeScanForward:
+    def test_matches_sequential(self, rng):
+        n, t = 6, 40
+        A = rng.uniform(0.1, 1.0, size=(n, n)); A /= A.sum(1, keepdims=True)
+        pi = rng.uniform(0.1, 1.0, size=n); pi /= pi.sum()
+        log_b = jnp.asarray(rng.normal(size=(t, n)))
+        la_s, ll_s = hmm.forward_log(
+            jnp.log(jnp.asarray(A)), jnp.log(jnp.asarray(pi)), log_b,
+            jnp.ones(t, bool))
+        la_a, ll_a = hmm.forward_log_assoc(
+            jnp.log(jnp.asarray(A)), jnp.log(jnp.asarray(pi)), log_b)
+        assert np.allclose(float(ll_s), float(ll_a), rtol=1e-5)
+        assert np.allclose(np.asarray(la_s), np.asarray(la_a),
+                           rtol=1e-4, atol=1e-4)
+
+    def test_left_to_right_with_neg_inf(self, rng):
+        """Sentinel-heavy banded topologies must not poison the scan."""
+        from poccala_tpu.utils.logmath import NEG_INF
+        n, t = 8, 25
+        A = np.zeros((n, n)); A[0, 1] = 1.0
+        for j in range(1, n - 1):
+            A[j, j] = 0.5; A[j, j + 1] = 0.5
+        logA = jnp.asarray(np.where(A > 0, np.log(A, where=A > 0), NEG_INF))
+        pi = np.zeros(n); pi[0] = 1.0
+        log_pi = jnp.asarray(np.where(pi > 0, 0.0, NEG_INF))
+        log_b = jnp.asarray(rng.normal(size=(t, n)))
+        la_s, ll_s = hmm.forward_log(logA, log_pi, log_b, jnp.ones(t, bool))
+        la_a, ll_a = hmm.forward_log_assoc(logA, log_pi, log_b)
+        assert np.allclose(float(ll_s), float(ll_a), rtol=1e-5)
+        fin = np.asarray(la_s) > NEG_INF / 2
+        assert np.allclose(np.asarray(la_a)[fin], np.asarray(la_s)[fin],
+                           rtol=1e-4, atol=1e-3)
