@@ -106,7 +106,7 @@ def cmd_align(args):
 
 
 def cmd_decode(args):
-    from poccala_tpu.decoder import BeamDecoder
+    from poccala_tpu.decoder.vector import VectorBeamDecoder as BeamDecoder
     from poccala_tpu.io import wav as wav_io
     from poccala_tpu.io.corpus import UnitInventory
     from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
