@@ -79,7 +79,7 @@ def add_stats(a: BwStats, b: BwStats) -> BwStats:
 @functools.partial(
     jax.jit,
     static_argnames=("state_num", "max_label_len", "normalizer",
-                     "count_final_exit"),
+                     "count_final_exit", "bw_inner_iters"),
 )
 def utterance_stats(
     bank: SenoneBank,
@@ -91,6 +91,8 @@ def utterance_stats(
     max_label_len: int,
     normalizer: str = "textbook",
     count_final_exit: bool = True,
+    bw_inner_iters: int = 1,
+    bw_converge_delta: float = 0.64,
 ) -> tuple[BwStats, jax.Array]:
     """One utterance's Baum-Welch statistics (the map side of the
     reference's map-reduce EM step, ``multi_embedded_training_1``,
@@ -106,6 +108,14 @@ def utterance_stats(
     a(r→exit)``, with matching final-frame occupancy in the denominator;
     transition rows are renormalized at update time.  Set False to
     reproduce the reference's statistics exactly.
+
+    ``bw_inner_iters > 1`` reproduces the reference's per-utterance
+    ``baulm_welch`` inner loop (``LHMM.py:526-544``): the *embedded*
+    sentence HMM's pi is re-estimated from γ₀ and forward/backward is
+    re-run until the utterance log-likelihood improves by ≤
+    ``bw_converge_delta`` (the reference's 0.64, ``LHMM.py:539``) or the
+    iteration cap; statistics are then taken at the converged pi.  The
+    default (1) is the textbook single E-step with uniform sentence pi.
 
     :returns: (stats, log P(O|λ))
     """
@@ -133,10 +143,44 @@ def utterance_stats(
     log_b = jnp.where((is_exit | ~ehmm.state_mask)[None, :], NEG_INF, log_b)
 
     # --- forward / backward (banded)
-    log_alpha, loglik = hmm_ops.forward_log_banded(
-        ehmm.band, ehmm.log_pi, log_b, t_mask, state_num
-    )
-    log_beta = hmm_ops.backward_log_banded(ehmm.band, log_b, t_mask, state_num)
+    def fb(log_pi):
+        la, ll = hmm_ops.forward_log_banded(
+            ehmm.band, log_pi, log_b, t_mask, state_num
+        )
+        lb = hmm_ops.backward_log_banded(ehmm.band, log_b, t_mask, state_num)
+        return la, lb, ll
+
+    log_pi_used = ehmm.log_pi
+    if bw_inner_iters > 1:
+        # per-utterance inner loop re-estimating the sentence pi
+        # (LHMM.py:526-544; see docstring)
+        la0, lb0, ll0 = fb(log_pi_used)
+        g0 = la0[0] + lb0[0]
+
+        def new_pi(g0):
+            norm = jax.nn.logsumexp(jnp.where(ehmm.state_mask, g0, NEG_INF))
+            pi = g0 - norm
+            return jnp.where(
+                ehmm.state_mask & (pi > NEG_INF / 2), pi, NEG_INF
+            )
+
+        def cond(carry):
+            _, prev_ll, cur_ll, _, it = carry
+            return (it < bw_inner_iters) & (cur_ll - prev_ll > bw_converge_delta)
+
+        def body(carry):
+            log_pi, _, cur_ll, g0, it = carry
+            pi = new_pi(g0)
+            la, lb, ll = fb(pi)
+            return (pi, cur_ll, ll, la[0] + lb[0], it + 1)
+
+        log_pi_used, _, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (log_pi_used, jnp.asarray(-jnp.inf), ll0, g0,
+             jnp.asarray(1, jnp.int32)),
+        )
+
+    log_alpha, log_beta, loglik = fb(log_pi_used)
 
     # --- state posteriors γ_t(r), normalized by P(O)
     log_gamma = log_alpha + log_beta - loglik

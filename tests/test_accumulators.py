@@ -195,3 +195,28 @@ class TestBaumWelchStep:
         assert not np.array_equal(np.asarray(b2.log_A), np.asarray(bank.log_A))
         b3 = acc.apply_update(bank, stats, update_transmat=False)
         assert np.array_equal(np.asarray(b3.log_A), np.asarray(bank.log_A))
+
+
+class TestInnerBwLoop:
+    def test_inner_pi_iterations_improve_loglik(self, rng):
+        """bw_inner_iters reproduces the reference's per-utterance
+        baulm_welch pi refinement (LHMM.py:526-544): the converged
+        likelihood must be >= the single-pass one."""
+        cfg, bank = make_bank(rng, num_units=3, state_num=5, mix=2,
+                              max_mix=2, dim=5)
+        label = jnp.asarray([1, 0, 2, 0], dtype=jnp.int32)
+        t = 24
+        x = jnp.asarray(rng.normal(size=(t, 5)).astype(np.float32))
+        mask = jnp.ones(t, bool)
+        s1, ll1 = acc.utterance_stats(
+            bank, label, jnp.asarray(3), x, mask, cfg.state_num, 4,
+            bw_inner_iters=1,
+        )
+        s2, ll2 = acc.utterance_stats(
+            bank, label, jnp.asarray(3), x, mask, cfg.state_num, 4,
+            bw_inner_iters=8,
+        )
+        assert float(ll2) >= float(ll1) - 1e-4
+        # statistics remain finite and occupancy mass is preserved-ish
+        assert np.isfinite(np.asarray(s2.occ)).all()
+        assert float(s2.occ.sum()) > 0
