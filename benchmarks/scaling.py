@@ -96,8 +96,11 @@ def main():
         @jax.jit
         def score8(x):
             def step(c, _):
+                # carry-dependent input perturbation prevents XLA from
+                # hoisting the loop-invariant computation out of the scan
+                xi = jnp.where(c == 1.2345e30, x + 1.0, x)
                 out = gmm_log_scores_fast(
-                    x, bank.means, bank.log_var, bank.log_w)
+                    xi, bank.means, bank.log_var, bank.log_w)
                 return c + jnp.sum(out), None
             tot, _ = jax.lax.scan(step, 0.0, None, length=8)
             return tot

@@ -1,0 +1,288 @@
+"""Fully on-device beam decoder: a `lax.scan` token machine.
+
+The third tier of the decoder stack (dict reference → vectorized host →
+device): token passing over the lexicon tree runs entirely inside one
+jitted scan over frames, batched over utterances with `vmap` — the
+fixed-capacity-token-array + top-k design of SURVEY.md §7 hard part (g).
+
+Per frame, per utterance:
+
+1. all K tokens advance one banded max-plus step (per-node bands and
+   senones gathered against the precomputed ``[T, S]`` score matrix);
+2. exit scores flow to child nodes (``K·C`` candidates);
+3. the frame's best word emission re-enters the tree root (``R``
+   candidates) carrying its bigram LM score — a single-best
+   word-boundary approximation (the host decoders expand every
+   emission; on separable inputs the 1-bests agree);
+4. candidates dedup on (node, history) keeping the best score, then
+   ``top_k`` with the beam fraction prunes back to K;
+5. the frame's emission writes ``(prev_ptr, word)`` into a
+   statically-indexed traceback lattice row ``[T]`` — one cell per
+   frame, pointer = frame index, no dynamic allocation.
+
+The winning hypothesis is reconstructed on the host from the fetched
+traceback lattice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from poccala_tpu.decoder.beam import Hypothesis
+from poccala_tpu.decoder.vector import VectorBeamDecoder
+from poccala_tpu.utils.logmath import NEG_INF
+
+
+class DeviceBeamDecoder(VectorBeamDecoder):
+    """Scan-based on-device decoder.  Constructor matches
+    :class:`poccala_tpu.decoder.beam.BeamDecoder`."""
+
+    def _prep_device(self):
+        if hasattr(self, "_dev_ready"):
+            return
+        import jax.numpy as jnp
+
+        self._prep_tables()
+        self._j_bands = jnp.asarray(self._bands)          # [n_nodes, Ns, W]
+        self._j_senone = jnp.asarray(self._senone)        # [n_nodes, Ns]
+        self._j_child = jnp.asarray(self._child_tab)      # [n_nodes, C]
+        self._j_word = jnp.asarray(self._word_tab)        # [n_nodes, Wt]
+        self._j_roots = jnp.asarray(self._roots, jnp.int32)  # [R]
+        self._j_lm = jnp.asarray(self._lm_tab, jnp.float32)  # [V+1, V]
+        self._dev_ready = True
+
+    # ------------------------------------------------------------------
+    def decode_batch(self, feats, n_frames, return_nbest: int = 1):
+        """Decode ``[B, T, D]``; the device path returns 1-best-focused
+        n-best lists per utterance."""
+        import jax.numpy as jnp
+
+        self._prep_device()
+        feats = np.asarray(feats, np.float32)
+        b, t_pad, _ = feats.shape
+        n_frames = np.asarray(n_frames)
+        scores = self._frame_scores_device(feats)          # [B, T, S]
+
+        run = self._scan_fn(t_pad)
+        (nodes, deltas, hist, last_word), (tb_prev, tb_word) = run(
+            scores, jnp.asarray(n_frames.astype(np.int32))
+        )
+        nodes = np.asarray(nodes)
+        deltas = np.asarray(deltas)
+        hist = np.asarray(hist)
+        last_word = np.asarray(last_word)
+        tb_prev = np.asarray(tb_prev)    # [B, T]
+        tb_word = np.asarray(tb_word)    # [B, T]
+
+        out: list[list[Hypothesis]] = []
+        k_cap = self.max_tokens
+        for u in range(b):
+            exits = self._exit_scores(deltas[u], np.clip(nodes[u], 0, None))
+            best: dict[tuple, float] = {}
+            for k in range(k_cap):
+                if nodes[u, k] < 0 or exits[k] <= NEG_INF / 2:
+                    continue
+                for w_id in self._word_tab[nodes[u, k]]:
+                    if w_id < 0:
+                        continue
+                    lm = float(self._lm_tab[last_word[u, k], w_id])
+                    seq = self._backtrace(tb_prev[u], tb_word[u], hist[u, k])
+                    seq = seq + (self._vocab[w_id],)
+                    score = float(exits[k]) + lm
+                    if seq not in best or score > best[seq]:
+                        best[seq] = score
+            hyps = [Hypothesis(score=s, words=w) for w, s in best.items()]
+            hyps.sort(reverse=True)
+            out.append(hyps[:return_nbest])
+        return out
+
+    def _backtrace(self, tb_prev, tb_word, ptr: int) -> tuple:
+        words = []
+        while ptr >= 0:
+            words.append(self._vocab[tb_word[ptr]])
+            ptr = tb_prev[ptr]
+        return tuple(reversed(words))
+
+    def _frame_scores_device(self, feats):
+        import jax.numpy as jnp
+
+        from poccala_tpu.ops.pallas.gmm_score_tpu import gmm_log_scores_fast
+
+        b, t_pad, d = feats.shape
+        flat = jnp.asarray(feats).reshape(b * t_pad, d)
+        s = gmm_log_scores_fast(flat, self.bank.means, self.bank.log_var,
+                                self.bank.log_w, normalizer=self.normalizer)
+        return s.reshape(b, t_pad, -1)
+
+    # ------------------------------------------------------------------
+    def _scan_fn(self, t_pad: int):
+        cache = getattr(self, "_scan_cache", None)
+        if cache is None:
+            cache = self._scan_cache = {}
+        if t_pad in cache:
+            return cache[t_pad]
+        fn = self._build_scan(t_pad)
+        cache[t_pad] = fn
+        return fn
+
+    def _build_scan(self, t_pad: int):
+        import jax
+        import jax.numpy as jnp
+
+        bands, senone = self._j_bands, self._j_senone
+        child_tab, word_tab = self._j_child, self._j_word
+        roots, lm_tab = self._j_roots, self._j_lm
+        k_cap = self.max_tokens
+        n_s = self.n_tok_states
+        n_nodes = bands.shape[0]
+        c_max = child_tab.shape[1]
+        w_t = word_tab.shape[1]
+        r = len(self._roots)
+        v = lm_tab.shape[1]
+        w_band = bands.shape[-1]
+        beam = self.beam
+        if r > k_cap:
+            raise ValueError(
+                f"lexicon has {r} first-syllable nodes > max_tokens={k_cap}; "
+                "raise max_tokens (root seeding currently keeps all roots)"
+            )
+
+        def step_tokens(nodes, deltas, frame_scores):
+            bn = bands[jnp.clip(nodes, 0, n_nodes - 1)]   # [K, Ns, W]
+            best = jnp.full_like(deltas, NEG_INF)
+            for k in range(w_band):
+                cand = deltas + bn[:, :, k]
+                if k:
+                    cand = jnp.concatenate(
+                        [jnp.full((cand.shape[0], k), NEG_INF),
+                         cand[:, :-k]], axis=1,
+                    )
+                best = jnp.maximum(best, cand)
+            sen = senone[jnp.clip(nodes, 0, n_nodes - 1)]
+            log_b = jnp.where(
+                sen >= 0, frame_scores[jnp.clip(sen, 0, None)], NEG_INF
+            )
+            log_b = log_b.at[:, 0].set(0.0)
+            alive = (nodes >= 0)[:, None]
+            return jnp.where(
+                alive, jnp.maximum(best + log_b, NEG_INF), NEG_INF
+            )
+
+        def exit_of(nodes, deltas):
+            bn = bands[jnp.clip(nodes, 0, n_nodes - 1)]
+            out = jnp.full(nodes.shape, NEG_INF)
+            for k in range(1, w_band):
+                rr = n_s - 1 - k
+                if rr < 0:
+                    continue
+                out = jnp.maximum(out, deltas[:, rr] + bn[:, rr, k])
+            return jnp.where(nodes >= 0, out, NEG_INF)
+
+        def one_utt_step(carry, inp):
+            nodes, deltas, hist, last_word = carry
+            frame_scores, ti, active = inp
+
+            stepped = step_tokens(nodes, deltas, frame_scores)
+            deltas = jnp.where(active & (nodes >= 0)[:, None], stepped, deltas)
+            exits = jnp.where(active, exit_of(nodes, deltas), NEG_INF)
+
+            # --- word emissions; single best re-enters the root
+            wt = word_tab[jnp.clip(nodes, 0, n_nodes - 1)]   # [K, Wt]
+            w_ok = (wt >= 0) & (exits > NEG_INF / 2)[:, None]
+            lm = lm_tab[last_word[:, None], jnp.clip(wt, 0, v - 1)]
+            emit_score = jnp.where(w_ok, exits[:, None] + lm, NEG_INF)
+            flat = emit_score.reshape(-1)
+            best_e = jnp.argmax(flat)
+            best_score = flat[best_e]
+            bk, bw = best_e // w_t, best_e % w_t
+            emit_valid = best_score > NEG_INF / 2
+            tb_prev_entry = jnp.where(emit_valid, hist[bk], -1)
+            tb_word_entry = jnp.where(
+                emit_valid, wt[bk, bw].astype(jnp.int32), 0
+            )
+
+            # --- candidate pool: survivors + children + restarts
+            ch = child_tab[jnp.clip(nodes, 0, n_nodes - 1)].reshape(-1)
+            ch_ok = (ch >= 0) & jnp.repeat(exits > NEG_INF / 2, c_max)
+            ch_d = jnp.full((k_cap * c_max, n_s), NEG_INF)
+            ch_d = ch_d.at[:, 0].set(
+                jnp.where(ch_ok, jnp.repeat(exits, c_max), NEG_INF)
+            )
+            re_d = jnp.full((r, n_s), NEG_INF)
+            re_d = re_d.at[:, 0].set(
+                jnp.where(emit_valid, best_score, NEG_INF)
+            )
+
+            nodes_p = jnp.concatenate([
+                nodes,
+                jnp.where(ch_ok, ch, -1).astype(jnp.int32),
+                jnp.where(emit_valid, roots, -1),
+            ])
+            deltas_p = jnp.concatenate([deltas, ch_d, re_d])
+            hist_p = jnp.concatenate([
+                hist, jnp.repeat(hist, c_max),
+                jnp.full((r,), ti, jnp.int32),
+            ])
+            last_p = jnp.concatenate([
+                last_word, jnp.repeat(last_word, c_max),
+                jnp.full((r,), 1, jnp.int32) * tb_word_entry,
+            ])
+
+            # --- dedup on (node, hist), keep best score per key
+            score_p = deltas_p.max(axis=1)
+            order = jnp.argsort(-score_p)
+            nodes_s = nodes_p[order]
+            hist_s = hist_p[order]
+            key = (nodes_s.astype(jnp.int32) + 1) * (t_pad + 2) + (hist_s + 1)
+            key = jnp.where(nodes_s >= 0, key, -jnp.arange(len(key)) - 1)
+            dup = (key[None, :] == key[:, None]) & (
+                jnp.arange(len(key))[None, :] < jnp.arange(len(key))[:, None]
+            )
+            is_dup = dup.any(axis=1)
+            score_s = jnp.where(is_dup, NEG_INF, score_p[order])
+
+            # --- top-K + beam fraction
+            top_scores, top_idx = jax.lax.top_k(score_s, k_cap)
+            sel = order[top_idx]
+            n_alive = jnp.sum(top_scores > NEG_INF / 2)
+            n_keep = jnp.maximum(1, jnp.ceil(n_alive * beam).astype(jnp.int32))
+            keep = (jnp.arange(k_cap) < n_keep) & (top_scores > NEG_INF / 2)
+
+            new_nodes = jnp.where(keep, nodes_p[sel], -1).astype(jnp.int32)
+            new_deltas = jnp.where(keep[:, None], deltas_p[sel], NEG_INF)
+            new_hist = jnp.where(keep, hist_p[sel], -1).astype(jnp.int32)
+            new_last = jnp.where(keep, last_p[sel], v).astype(jnp.int32)
+
+            # inactive frames: carry through unchanged
+            nodes = jnp.where(active, new_nodes, nodes)
+            deltas = jnp.where(active, new_deltas, deltas)
+            hist = jnp.where(active, new_hist, hist)
+            last_word = jnp.where(active, new_last, last_word)
+            tb_prev_entry = jnp.where(active, tb_prev_entry, -1)
+
+            return (nodes, deltas, hist, last_word), (
+                tb_prev_entry.astype(jnp.int32),
+                tb_word_entry.astype(jnp.int32),
+            )
+
+        def run(scores_b, n_frames_b):
+            def one_utt(scores_u, n_frames_u):
+                nodes0 = jnp.full((k_cap,), -1, jnp.int32)
+                nodes0 = nodes0.at[:r].set(roots)
+                deltas0 = jnp.full((k_cap, n_s), NEG_INF)
+                deltas0 = deltas0.at[:r, 0].set(0.0)
+                hist0 = jnp.full((k_cap,), -1, jnp.int32)
+                last0 = jnp.full((k_cap,), v, jnp.int32)
+                tis = jnp.arange(t_pad, dtype=jnp.int32)
+                actives = tis < n_frames_u
+                return jax.lax.scan(
+                    one_utt_step,
+                    (nodes0, deltas0, hist0, last0),
+                    (scores_u, tis, actives),
+                )
+
+            return jax.vmap(one_utt)(scores_b, n_frames_b)
+
+        return jax.jit(run)

@@ -62,3 +62,49 @@ class TestVectorDecoder:
         x, _ = utt([0, 1, 2, 3], frames_per_unit=10)
         hyps = dec.decode(x)
         assert hyps and hyps[0].words == ("你好",)
+
+
+class TestDeviceDecoder:
+    def test_matches_vector_decoder(self, setup):
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+
+        tr, inv, flat, utt = setup
+        dec_vec = VectorBeamDecoder(tr.bank, flat, candidate=3)
+        dec_dev = DeviceBeamDecoder(tr.bank, flat, candidate=3)
+        for seq in ([0, 1, 2, 3], [4, 5], [0, 1], [0, 1, 2, 3, 4, 5]):
+            x, _ = utt(seq, frames_per_unit=10)
+            h_vec = dec_vec.decode(x)
+            h_dev = dec_dev.decode(x)
+            assert h_dev, f"no hyps for {seq}"
+            assert h_dev[0].words == h_vec[0].words, seq
+            assert np.isclose(h_dev[0].score, h_vec[0].score, rtol=1e-4), seq
+
+    def test_device_batch(self, setup):
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+
+        tr, inv, flat, utt = setup
+        dec = DeviceBeamDecoder(tr.bank, flat, candidate=3)
+        seqs = [[0, 1, 2, 3], [4, 5], [0, 1]]
+        t_max = 80
+        feats = np.zeros((3, t_max, tr.bank.dim), np.float32)
+        nf = []
+        for i, s in enumerate(seqs):
+            x, _ = utt(s, frames_per_unit=10)
+            feats[i, : len(x)] = x
+            nf.append(len(x))
+        out = dec.decode_batch(feats, np.asarray(nf))
+        assert out[0][0].words == ("你好",)
+        assert out[1][0].words == ("马",)
+        assert out[2][0].words == ("你",)
+
+    def test_device_with_lm(self, setup):
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+
+        tr, inv, flat, utt = setup
+        lm = Ngram(2)
+        lm.train([["你好"]] * 10 + [["马"]])
+        dec = DeviceBeamDecoder(tr.bank, flat, candidate=3, lm=lm,
+                                lm_weight=5.0)
+        x, _ = utt([0, 1, 2, 3], frames_per_unit=10)
+        hyps = dec.decode(x)
+        assert hyps and hyps[0].words == ("你好",)
