@@ -26,8 +26,6 @@ traceback lattice.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from poccala_tpu.decoder.beam import Hypothesis
