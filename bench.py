@@ -19,6 +19,7 @@ real-time per chip.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -31,6 +32,15 @@ def log(msg):
 
 def main():
     import jax
+
+    # persistent compilation cache: the full-pipeline graph takes minutes
+    # to compile through this environment's remote compiler
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_poccala"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from poccala_tpu.config import Config
