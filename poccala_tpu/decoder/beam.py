@@ -90,6 +90,7 @@ class BeamDecoder:
         w = n
         n_s = self.n_tok_states
         log_a = np.asarray(bank.log_A)
+        senone_map = np.asarray(bank.senone_map)
         n_nodes = self.lexicon.n_nodes
         bands = np.full((n_nodes, n_s, w), NEG_INF, np.float32)
         senone = np.full((n_nodes, n_s), -1, np.int32)
@@ -101,7 +102,7 @@ class BeamDecoder:
             for i, u in enumerate(units):
                 for l in range(1, emit + 1):
                     r = i * emit + l
-                    senone[nid, r] = u * emit + (l - 1)
+                    senone[nid, r] = senone_map[u, l - 1]
                     for k in range(w):
                         if l + k < n and r + k < n_s:
                             bands[nid, r, k] = log_a[u, l, l + k]

@@ -7,9 +7,9 @@ instances, each persisting its own ``.npy`` files
 batched pytree so every per-unit loop is a batched axis:
 
 * ``means[S, M, D]``, ``log_var[S, M, D]``, ``log_w[S, M]`` — the GMMs of
-  all emitting states, where ``S = num_units * (state_num - 2)`` and the
-  senone id of (unit u, emitting state e∈[0, state_num-2)) is
-  ``u * (state_num - 2) + e``;
+  all emitting states; ``senone_map[U, state_num-2]`` maps (unit,
+  emitting state) to its senone (identity layout when untied,
+  data-driven sharing when tied);
 * ``log_A[U, N, N]`` — per-unit transition matrices (N = state_num,
   rows 0 and N-1 are the virtual entry/exit states,
   ``AcousticModel.py:174-181``);
@@ -41,6 +41,13 @@ class SenoneBank:
     log_A: jax.Array      # [U, N, N] float32
     log_pi: jax.Array     # [U, N]    float32
     mix_counts: jax.Array  # [S]      int32
+    # state tying (BASELINE config 3 "tied-state" units): maps
+    # (unit, emitting-state index) -> senone id.  The untied default is
+    # the identity layout ``u * (N-2) + e``; tying makes S independent
+    # of U and lets multiple unit states share one GMM — Baum-Welch
+    # statistics accumulate onto shared senones automatically because
+    # every scatter keys on this map.
+    senone_map: jax.Array  # [U, N-2]  int32
 
     # ------------------------------------------------------------------
     @property
@@ -68,10 +75,13 @@ class SenoneBank:
         return self.state_num - 2
 
     def senone_id(self, unit: int, emit: int) -> int:
-        return unit * self.emit_states + emit
+        return int(self.senone_map[unit, emit])
 
-    def astuple(self):
-        return dataclasses.astuple(self)
+
+def identity_senone_map(num_units: int, emit: int) -> jnp.ndarray:
+    """The untied layout: senone(u, e) = u * emit + e."""
+    return (jnp.arange(num_units)[:, None] * emit
+            + jnp.arange(emit)[None, :]).astype(jnp.int32)
 
 
 def unit_transmat(state_num: int) -> np.ndarray:
@@ -124,6 +134,7 @@ def create_bank(
     return SenoneBank(
         means=means, log_var=log_var, log_w=log_w,
         log_A=log_a, log_pi=log_pi, mix_counts=mix_counts,
+        senone_map=identity_senone_map(num_units, emit),
     )
 
 

@@ -85,7 +85,9 @@ def build_embedded(
     is_emit = (r >= 1) & (r < n_true - 1)
     state_mask = r < n_true
 
-    senone = unit * emit + (local - 1)
+    senone = bank.senone_map[
+        jnp.clip(unit, 0, bank.num_units - 1), local - 1
+    ]
     senone_idx = jnp.where(is_emit, senone, -1).astype(jnp.int32)
 
     # --- band assembly --------------------------------------------------

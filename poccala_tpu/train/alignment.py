@@ -129,6 +129,7 @@ def group_frames_by_senone(
     max_frames_per_senone: int,
     utt_ok: np.ndarray | None = None,
     rng: np.random.Generator | None = None,
+    senone_map: np.ndarray | None = None,
 ):
     """Build fixed-shape per-senone frame buckets for grouped k-means/EM.
 
@@ -164,7 +165,11 @@ def group_frames_by_senone(
             for e in range(emit_states):
                 end = start + chunk if e < emit_states - 1 else n
                 if end > start:
-                    buckets[unit * emit_states + e].append(frames[start:end])
+                    if senone_map is not None:
+                        sid = int(senone_map[unit, e])
+                    else:
+                        sid = unit * emit_states + e
+                    buckets[sid].append(frames[start:end])
                 start += chunk
 
     out = np.zeros((num_senones, max_frames_per_senone, d), np.float32)

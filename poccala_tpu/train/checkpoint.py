@@ -34,7 +34,8 @@ from poccala_tpu.models.senone_bank import SenoneBank
 from poccala_tpu.utils.errors import ParameterFileError
 from poccala_tpu.utils.logmath import masked_log
 
-_FIELDS = ("means", "log_var", "log_w", "log_A", "log_pi", "mix_counts")
+_FIELDS = ("means", "log_var", "log_w", "log_A", "log_pi", "mix_counts",
+           "senone_map")
 
 
 def save_checkpoint(path: str, bank: SenoneBank, manifest: dict | None = None,
@@ -88,6 +89,7 @@ def export_reference_layout(root: str, bank: SenoneBank,
     log_a = np.asarray(bank.log_A)
     pi = np.exp(np.asarray(bank.log_pi))
     mix_counts = np.asarray(bank.mix_counts)
+    senone_map = np.asarray(bank.senone_map)
 
     for u, unit in enumerate(inventory.units):
         unit_dir = os.path.join(base, unit)
@@ -101,7 +103,7 @@ def export_reference_layout(root: str, bank: SenoneBank,
         with open(os.path.join(hmm_dir, "HMM_config.ini"), "w") as f:
             cp.write(f)
         for e in range(emit):
-            s = u * emit + e
+            s = int(senone_map[u, e])  # tied states export shared params
             m_act = int(mix_counts[s])
             gmm_dir = os.path.join(unit_dir, f"GMM_{e}")
             os.makedirs(gmm_dir, exist_ok=True)
@@ -169,6 +171,8 @@ def import_reference_layout(root: str, inventory: UnitInventory,
             var[s, :m_act] = np.maximum(v, 1e-10)
             w[s, :m_act] = wt
             mix_counts[s] = m_act
+    from poccala_tpu.models.senone_bank import identity_senone_map
+
     return SenoneBank(
         means=jnp.asarray(means),
         log_var=jnp.asarray(np.log(var)),
@@ -176,4 +180,5 @@ def import_reference_layout(root: str, inventory: UnitInventory,
         log_A=jnp.asarray(log_a),
         log_pi=masked_log(jnp.asarray(np.maximum(pi_all, 0.0))),
         mix_counts=jnp.asarray(mix_counts),
+        senone_map=identity_senone_map(u_total, emit),
     )

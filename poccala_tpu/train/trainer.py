@@ -211,6 +211,7 @@ class Trainer:
             max_frames_per_senone=cap,
             utt_ok=np.concatenate(all_ok),
             rng=np.random.default_rng(int(self._next_key()[0])),
+            senone_map=np.asarray(self.bank.senone_map),
         )
         if dropped:
             self.log.warning(
