@@ -164,3 +164,32 @@ class TestSmem:
         got = np.sort(np.asarray(new_params.means), axis=0)
         want = np.sort(np.array([[0, 0], [6, 0], [0, 6]], np.float32), axis=0)
         assert np.allclose(got, want, atol=0.5)
+
+
+class TestCorpusVariants:
+    def test_vad_and_quirks_paths(self, tmp_path):
+        """Corpus loading with VAD enabled and reference-quirks mode."""
+        from poccala_tpu.config import Config
+        from poccala_tpu.io import corpus as corpus_io
+
+        inv = corpus_io.UnitInventory(["qa", "qb"])
+        audio, label = corpus_io.generate_synthetic_corpus(
+            str(tmp_path), inv, num_utts=4, units_per_utt=(2, 3),
+            unit_seconds=0.5, seed=5)
+        for quirks in (False, True):
+            cfg = Config()
+            cfg.paths.audio_file_path = audio
+            cfg.paths.label_file_path = label
+            cfg.train.load_line = 0
+            cfg.train.batch_size = 4
+            cfg.train.max_frames = 200
+            cfg.train.max_label_len = 3
+            cfg.frontend.vad = True
+            cfg.frontend.reference_quirks = quirks
+            corpus = corpus_io.Corpus(cfg, inv)
+            batches = list(corpus.batches(use_native=False))
+            assert len(batches) == 1
+            b = batches[0]
+            # VAD keeps most frames of the loud synthetic units
+            assert b.t_masks.sum() > 0
+            assert np.isfinite(b.feats).all()
