@@ -15,13 +15,17 @@ import sys
 import numpy as np
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_SRC_DIR, "_libpoccala_native.so")
+# built lib lives in a plain subdirectory so package walkers don't try
+# to import the ctypes .so as a Python extension module
+_BUILD_DIR = os.path.join(_SRC_DIR, "build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "libpoccala_native.so")
 _lib = None
 _build_error: str | None = None
 
 
 def _build() -> str | None:
     src = os.path.join(_SRC_DIR, "wavio.cpp")
+    os.makedirs(_BUILD_DIR, exist_ok=True)
     if os.path.exists(_LIB_PATH) and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src):
         return _LIB_PATH
     cmd = [
