@@ -141,11 +141,15 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         v = lm_tab.shape[1]
         w_band = bands.shape[-1]
         beam = self.beam
-        if r > k_cap:
-            raise ValueError(
-                f"lexicon has {r} first-syllable nodes > max_tokens={k_cap}; "
-                "raise max_tokens (root seeding currently keeps all roots)"
-            )
+        # score-ranked root selection: with large lexicons (hundreds of
+        # first-syllable nodes) only the acoustically-plausible roots are
+        # seeded/restarted each frame, ranked by their first emitting
+        # senone's frame score (the device analog of the reference's
+        # generate_first_word candidate cut, Decoder.py:63-88)
+        r_keep = int(min(r, max(self.candidate, k_cap // 4)))
+        root_first_sen = jnp.clip(
+            self._j_senone[roots, 1], 0, None
+        )  # [R] first emitting senone of each root syllable
 
         def step_tokens(nodes, deltas, frame_scores):
             bn = bands[jnp.clip(nodes, 0, n_nodes - 1)]   # [K, Ns, W]
@@ -208,7 +212,10 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             ch_d = ch_d.at[:, 0].set(
                 jnp.where(ch_ok, jnp.repeat(exits, c_max), NEG_INF)
             )
-            re_d = jnp.full((r, n_s), NEG_INF)
+            # restarts: only the r_keep acoustically best roots this frame
+            _, root_sel = jax.lax.top_k(frame_scores[root_first_sen], r_keep)
+            restart_roots = roots[root_sel]
+            re_d = jnp.full((r_keep, n_s), NEG_INF)
             re_d = re_d.at[:, 0].set(
                 jnp.where(emit_valid, best_score, NEG_INF)
             )
@@ -216,16 +223,16 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             nodes_p = jnp.concatenate([
                 nodes,
                 jnp.where(ch_ok, ch, -1).astype(jnp.int32),
-                jnp.where(emit_valid, roots, -1),
+                jnp.where(emit_valid, restart_roots, -1),
             ])
             deltas_p = jnp.concatenate([deltas, ch_d, re_d])
             hist_p = jnp.concatenate([
                 hist, jnp.repeat(hist, c_max),
-                jnp.full((r,), ti, jnp.int32),
+                jnp.full((r_keep,), ti, jnp.int32),
             ])
             last_p = jnp.concatenate([
                 last_word, jnp.repeat(last_word, c_max),
-                jnp.full((r,), 1, jnp.int32) * tb_word_entry,
+                jnp.full((r_keep,), 1, jnp.int32) * tb_word_entry,
             ])
 
             # --- dedup on (node, hist), keep best score per key
@@ -267,10 +274,19 @@ class DeviceBeamDecoder(VectorBeamDecoder):
 
         def run(scores_b, n_frames_b):
             def one_utt(scores_u, n_frames_u):
+                # initial seeding: top roots by mean first-senone score
+                # over the opening frames (generate_first_word analog)
+                seed_n = int(min(r, k_cap))
+                seed_t = min(10, t_pad)
+                root_rank = jnp.mean(
+                    scores_u[:seed_t][:, root_first_sen], axis=0
+                )  # [R]
+                _, seed_sel = jax.lax.top_k(root_rank, int(min(r, seed_n)))
+                seed_roots = roots[seed_sel]
                 nodes0 = jnp.full((k_cap,), -1, jnp.int32)
-                nodes0 = nodes0.at[:r].set(roots)
+                nodes0 = nodes0.at[: len(seed_roots)].set(seed_roots)
                 deltas0 = jnp.full((k_cap, n_s), NEG_INF)
-                deltas0 = deltas0.at[:r, 0].set(0.0)
+                deltas0 = deltas0.at[: len(seed_roots), 0].set(0.0)
                 hist0 = jnp.full((k_cap,), -1, jnp.int32)
                 last0 = jnp.full((k_cap,), v, jnp.int32)
                 tis = jnp.arange(t_pad, dtype=jnp.int32)

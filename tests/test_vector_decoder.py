@@ -108,3 +108,69 @@ class TestDeviceDecoder:
         x, _ = utt([0, 1, 2, 3], frames_per_unit=10)
         hyps = dec.decode(x)
         assert hyps and hyps[0].words == ("你好",)
+
+
+class TestDeviceDecoderLargeLexicon:
+    def test_more_roots_than_tokens(self, rng):
+        """Score-ranked root seeding: lexicons with more first-syllable
+        nodes than the token budget still decode correctly."""
+        import dataclasses
+        import jax.numpy as jnp
+        from poccala_tpu.config import ModelConfig
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+        from poccala_tpu.io.corpus import UnitInventory
+        from poccala_tpu.lexicon import FlatLexicon, PinYin, PronunciationLexicon
+        from poccala_tpu.models import senone_bank as sb
+
+        n_ini, n_fin = 12, 10
+        initials = [f"b{i}" for i in range(n_ini)]
+        finals = [f"a{i}1" for i in range(n_fin)]
+        units = initials + finals
+        inv = UnitInventory(units)
+
+        # bank whose senone means equal a per-unit embedding
+        cfg = ModelConfig(state_num=5, mix_level=1, max_mix_level=1)
+        bank = sb.create_bank(len(units), cfg, 8, differentiation=False)
+        emb = rng.normal(size=(len(units), 8)).astype(np.float32) * 4
+        means = np.repeat(emb, 3, axis=0)[:, None, :]  # [S, 1, D]
+        bank = dataclasses.replace(bank, means=jnp.asarray(means))
+
+        # 120 single-syllable words -> 120 first-level nodes
+        table = {}
+        words = []
+        for i in range(n_ini):
+            for j in range(n_fin):
+                w = chr(0x4E00 + i * n_fin + j)
+                table[w] = [f"{initials[i]}{finals[j]}"]
+                words.append(w)
+        # custom G2P: syllables like "b3a71" aren't standard pinyin, so
+        # build the tree directly
+        lex = PronunciationLexicon()
+        for w in words:
+            ini = table[w][0][: len(initials[0])]
+            # recover the unit pair from the construction
+            idx = ord(w) - 0x4E00
+            syl = f"{initials[idx // n_fin]},{finals[idx % n_fin]}"
+            first = lex.lexicon.setdefault(syl.split(",")[0], {})
+            node = first.setdefault(syl, {})
+            node.setdefault("word", []).append(w)
+        flat = FlatLexicon.from_tree(lex.lexicon, inv)
+        assert len(flat.children(0)) == n_ini * n_fin  # 120 roots
+
+        dec = DeviceBeamDecoder(bank, flat, max_tokens=48, candidate=12)
+
+        # utterance for word (i=5, j=3): frames near its two embeddings
+        def feats_for(i, j, frames_per_unit=8):
+            e1, e2 = emb[i], emb[n_ini + j]
+            x = np.concatenate([
+                e1 + rng.normal(size=(frames_per_unit, 8)) * 0.3,
+                e2 + rng.normal(size=(frames_per_unit, 8)) * 0.3,
+            ]).astype(np.float32)
+            return x
+
+        for (i, j) in [(5, 3), (0, 0), (11, 9)]:
+            x = feats_for(i, j)
+            hyps = dec.decode(x)
+            want = chr(0x4E00 + i * n_fin + j)
+            assert hyps, (i, j)
+            assert hyps[0].words == (want,), (i, j, hyps[0].words)
