@@ -106,7 +106,12 @@ def cmd_align(args):
 
 
 def cmd_decode(args):
-    from poccala_tpu.decoder.vector import VectorBeamDecoder as BeamDecoder
+    if args.decoder == "device":
+        from poccala_tpu.decoder.device import DeviceBeamDecoder as BeamDecoder
+    elif args.decoder == "simple":
+        from poccala_tpu.decoder import BeamDecoder
+    else:
+        from poccala_tpu.decoder.vector import VectorBeamDecoder as BeamDecoder
     from poccala_tpu.io import wav as wav_io
     from poccala_tpu.io.corpus import UnitInventory
     from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
@@ -234,6 +239,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--lm")
     d.add_argument("--lm-order", type=int, default=2)
     d.add_argument("--beam", type=float, default=0.85)
+    d.add_argument("--decoder", choices=("vector", "device", "simple"),
+                   default="vector",
+                   help="decoder tier: vectorized host (default), "
+                        "on-device scan, or the simple reference path")
     d.add_argument("wavs", nargs="+")
     d.set_defaults(fn=cmd_decode)
 
