@@ -99,6 +99,16 @@ class ModelConfig:
     # deviation (-0.5*sum(var), util.py:29).  Parity tests target
     # 'reference'; production defaults to 'textbook'.
     gaussian_normalizer: str = "textbook"
+    # Baum-Welch statistics exactness knobs (train/accumulators.py):
+    # count_final_exit=True counts the HTK-style final-frame flow into
+    # the sentence exit state so unit exit probabilities stay nonzero;
+    # False reproduces the reference's statistics exactly
+    # (LHMM.py:526-544, where the -inf-emission exit state starves exit
+    # transitions).  bw_inner_iters>1 enables the reference's
+    # per-utterance baulm_welch inner loop re-estimating the sentence pi
+    # until dloglik <= 0.64 (LHMM.py:539).
+    count_final_exit: bool = True
+    bw_inner_iters: int = 1
 
     @property
     def emit_states(self) -> int:

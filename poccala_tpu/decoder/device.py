@@ -10,18 +10,28 @@ Per frame, per utterance:
 1. all K tokens advance one banded max-plus step (per-node bands and
    senones gathered against the precomputed ``[T, S]`` score matrix);
 2. exit scores flow to child nodes (``K·C`` candidates);
-3. the frame's best word emission re-enters the tree root (``R``
-   candidates) carrying its bigram LM score — a single-best
-   word-boundary approximation (the host decoders expand every
-   emission; on separable inputs the 1-bests agree);
-4. candidates dedup on (node, history) keeping the best score, then
-   ``top_k`` with the beam fraction prunes back to K;
-5. the frame's emission writes ``(prev_ptr, word)`` into a
-   statically-indexed traceback lattice row ``[T]`` — one cell per
-   frame, pointer = frame index, no dynamic allocation.
+3. the frame's top-``E`` word emissions each re-enter the tree root
+   (``E·R`` candidates) carrying their bigram LM scores (the host
+   decoders expand *every* emission; E best-of-frame is the device
+   approximation — E ≥ 2 keeps confusable word boundaries alive where a
+   single-best emission silently prunes them);
+4. candidates dedup on (node, history): sort by key with score as the
+   tie-break (``lexsort``), mask segment-interior rows — O(P log P), no
+   pairwise O(P²) table — then ``top_k`` with the beam fraction prunes
+   back to K;
+5. the frame's emissions write ``(prev_ptr, word)`` into a
+   statically-indexed traceback lattice row ``[T, E]`` — pointer
+   ``= t·E + e``, no dynamic allocation.
 
 The winning hypothesis is reconstructed on the host from the fetched
 traceback lattice.
+
+Distributed decode (BASELINE config 5): ``decode_batch(..., mesh=...)``
+runs the same scan under ``shard_map`` with utterances sharded over the
+``data`` mesh axis and tables/bank replicated — decode is
+embarrassingly parallel per utterance, so the shard program contains no
+collectives at all (the reference's intended serving path,
+``Decoder.py:91-167``, scaled out).
 """
 
 from __future__ import annotations
@@ -35,7 +45,12 @@ from poccala_tpu.utils.logmath import NEG_INF
 
 class DeviceBeamDecoder(VectorBeamDecoder):
     """Scan-based on-device decoder.  Constructor matches
-    :class:`poccala_tpu.decoder.beam.BeamDecoder`."""
+    :class:`poccala_tpu.decoder.beam.BeamDecoder`; ``emit_top`` sets how
+    many word emissions per frame re-enter the tree root."""
+
+    def __init__(self, *args, emit_top: int = 4, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.emit_top = max(1, int(emit_top))
 
     def _prep_device(self):
         if hasattr(self, "_dev_ready"):
@@ -52,18 +67,38 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         self._dev_ready = True
 
     # ------------------------------------------------------------------
-    def decode_batch(self, feats, n_frames, return_nbest: int = 1):
+    def decode_batch(self, feats, n_frames, return_nbest: int = 1,
+                     mesh=None):
         """Decode ``[B, T, D]``; the device path returns 1-best-focused
-        n-best lists per utterance."""
+        n-best lists per utterance.
+
+        :param mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis
+            — the scan then runs under ``shard_map`` with utterances
+            sharded across devices (distributed decode).
+        """
         import jax.numpy as jnp
 
         self._prep_device()
         feats = np.asarray(feats, np.float32)
-        b, t_pad, _ = feats.shape
         n_frames = np.asarray(n_frames)
+        b_orig = feats.shape[0]
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            pad = (-b_orig) % n_data
+            if pad:
+                feats = np.pad(feats, ((0, pad), (0, 0), (0, 0)))
+                n_frames = np.pad(n_frames, (0, pad))
+        b, t_pad, _ = feats.shape
         scores = self._frame_scores_device(feats)          # [B, T, S]
 
-        run = self._scan_fn(t_pad)
+        if mesh is None:
+            run = self._scan_fn(t_pad)
+        else:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            run = self._sharded_scan_fn(t_pad, mesh)
+            scores = jax.device_put(scores, NamedSharding(mesh, P("data")))
         (nodes, deltas, hist, last_word), (tb_prev, tb_word) = run(
             scores, jnp.asarray(n_frames.astype(np.int32))
         )
@@ -71,12 +106,13 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         deltas = np.asarray(deltas)
         hist = np.asarray(hist)
         last_word = np.asarray(last_word)
-        tb_prev = np.asarray(tb_prev)    # [B, T]
-        tb_word = np.asarray(tb_word)    # [B, T]
+        e_top = self.emit_top
+        tb_prev = np.asarray(tb_prev).reshape(b, t_pad * e_top)  # [B, T*E]
+        tb_word = np.asarray(tb_word).reshape(b, t_pad * e_top)
 
         out: list[list[Hypothesis]] = []
         k_cap = self.max_tokens
-        for u in range(b):
+        for u in range(b_orig):
             exits = self._exit_scores(deltas[u], np.clip(nodes[u], 0, None))
             best: dict[tuple, float] = {}
             for k in range(k_cap):
@@ -116,16 +152,51 @@ class DeviceBeamDecoder(VectorBeamDecoder):
 
     # ------------------------------------------------------------------
     def _scan_fn(self, t_pad: int):
+        import jax
+
         cache = getattr(self, "_scan_cache", None)
         if cache is None:
             cache = self._scan_cache = {}
         if t_pad in cache:
             return cache[t_pad]
-        fn = self._build_scan(t_pad)
+        fn = jax.jit(self._build_scan(t_pad))
         cache[t_pad] = fn
         return fn
 
+    def _sharded_scan_fn(self, t_pad: int, mesh):
+        """The same scan wrapped in ``shard_map`` over the ``data`` axis
+        — per-utterance decode is independent, so the shard program has
+        zero collectives; the lexicon/LM tables and bank are closed over
+        and replicated."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map as _shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+        cache = getattr(self, "_sharded_cache", None)
+        if cache is None:
+            cache = self._sharded_cache = {}
+        key = (t_pad, id(mesh))
+        if key in cache:
+            return cache[key]
+        run = self._build_scan(t_pad)
+        spec = P("data")
+        mapped = _shard_map(
+            run, mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=((spec, spec, spec, spec), (spec, spec)),
+            check_vma=False,
+        )
+        fn = jax.jit(mapped)
+        cache[key] = fn
+        return fn
+
     def _build_scan(self, t_pad: int):
+        """Build the raw (unjitted) ``run(scores[B,T,S], n_frames[B])``
+        scan program."""
         import jax
         import jax.numpy as jnp
 
@@ -141,6 +212,9 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         v = lm_tab.shape[1]
         w_band = bands.shape[-1]
         beam = self.beam
+        e_top = self.emit_top
+        # traceback pointers live in the flattened [T*E] lattice
+        n_ptr = t_pad * e_top
         # score-ranked root selection: with large lexicons (hundreds of
         # first-syllable nodes) only the acoustically-plausible roots are
         # seeded/restarted each frame, ranked by their first emitting
@@ -190,22 +264,24 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             deltas = jnp.where(active & (nodes >= 0)[:, None], stepped, deltas)
             exits = jnp.where(active, exit_of(nodes, deltas), NEG_INF)
 
-            # --- word emissions; single best re-enters the root
+            # --- word emissions; top-E re-enter the tree root, each with
+            # its own traceback entry (host tiers expand every emission;
+            # E-best keeps confusable boundaries alive)
             wt = word_tab[jnp.clip(nodes, 0, n_nodes - 1)]   # [K, Wt]
             w_ok = (wt >= 0) & (exits > NEG_INF / 2)[:, None]
             lm = lm_tab[last_word[:, None], jnp.clip(wt, 0, v - 1)]
             emit_score = jnp.where(w_ok, exits[:, None] + lm, NEG_INF)
             flat = emit_score.reshape(-1)
-            best_e = jnp.argmax(flat)
-            best_score = flat[best_e]
-            bk, bw = best_e // w_t, best_e % w_t
-            emit_valid = best_score > NEG_INF / 2
-            tb_prev_entry = jnp.where(emit_valid, hist[bk], -1)
-            tb_word_entry = jnp.where(
-                emit_valid, wt[bk, bw].astype(jnp.int32), 0
-            )
+            e_scores, e_idx = jax.lax.top_k(flat, e_top)     # [E]
+            ek, ew = e_idx // w_t, e_idx % w_t
+            e_valid = e_scores > NEG_INF / 2
+            tb_prev_row = jnp.where(e_valid, hist[ek], -1)   # [E]
+            tb_word_row = jnp.where(
+                e_valid, wt[ek, ew].astype(jnp.int32), 0
+            )                                                # [E]
+            e_words = tb_word_row
 
-            # --- candidate pool: survivors + children + restarts
+            # --- candidate pool: survivors + children + E·R restarts
             ch = child_tab[jnp.clip(nodes, 0, n_nodes - 1)].reshape(-1)
             ch_ok = (ch >= 0) & jnp.repeat(exits > NEG_INF / 2, c_max)
             ch_d = jnp.full((k_cap * c_max, n_s), NEG_INF)
@@ -214,39 +290,51 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             )
             # restarts: only the r_keep acoustically best roots this frame
             _, root_sel = jax.lax.top_k(frame_scores[root_first_sen], r_keep)
-            restart_roots = roots[root_sel]
-            re_d = jnp.full((r_keep, n_s), NEG_INF)
+            restart_roots = roots[root_sel]                  # [R_keep]
+            re_d = jnp.full((e_top * r_keep, n_s), NEG_INF)
             re_d = re_d.at[:, 0].set(
-                jnp.where(emit_valid, best_score, NEG_INF)
+                jnp.repeat(jnp.where(e_valid, e_scores, NEG_INF), r_keep)
             )
+            re_nodes = jnp.where(
+                jnp.repeat(e_valid, r_keep),
+                jnp.tile(restart_roots, e_top), -1,
+            ).astype(jnp.int32)
+            re_hist = jnp.repeat(ti * e_top + jnp.arange(e_top), r_keep)
+            re_last = jnp.repeat(e_words, r_keep)
 
             nodes_p = jnp.concatenate([
                 nodes,
                 jnp.where(ch_ok, ch, -1).astype(jnp.int32),
-                jnp.where(emit_valid, restart_roots, -1),
+                re_nodes,
             ])
             deltas_p = jnp.concatenate([deltas, ch_d, re_d])
             hist_p = jnp.concatenate([
-                hist, jnp.repeat(hist, c_max),
-                jnp.full((r_keep,), ti, jnp.int32),
+                hist, jnp.repeat(hist, c_max), re_hist.astype(jnp.int32),
             ])
             last_p = jnp.concatenate([
                 last_word, jnp.repeat(last_word, c_max),
-                jnp.full((r_keep,), 1, jnp.int32) * tb_word_entry,
+                re_last.astype(jnp.int32),
             ])
 
-            # --- dedup on (node, hist), keep best score per key
+            # --- dedup on (node, hist): sort by key (score descending as
+            # the tie-break), mask any row equal to its predecessor —
+            # O(P log P) sorted-segment masking, no pairwise table
             score_p = deltas_p.max(axis=1)
-            order = jnp.argsort(-score_p)
-            nodes_s = nodes_p[order]
-            hist_s = hist_p[order]
-            key = (nodes_s.astype(jnp.int32) + 1) * (t_pad + 2) + (hist_s + 1)
-            key = jnp.where(nodes_s >= 0, key, -jnp.arange(len(key)) - 1)
-            dup = (key[None, :] == key[:, None]) & (
-                jnp.arange(len(key))[None, :] < jnp.arange(len(key))[:, None]
-            )
-            is_dup = dup.any(axis=1)
-            score_s = jnp.where(is_dup, NEG_INF, score_p[order])
+            p_tot = nodes_p.shape[0]
+            live = nodes_p >= 0
+            # int32 key space: (n_nodes + 2) * (T*E + 2) must fit in
+            # 2^31 — true for any realistic lexicon/utterance (25k nodes
+            # x 2k pointers ~ 5e7)
+            key = (nodes_p + 1) * (n_ptr + 2) + (hist_p + 1)
+            dead_base = jnp.int32((n_nodes + 2) * (n_ptr + 2))
+            key = jnp.where(live, key, dead_base + jnp.arange(p_tot))
+            order = jnp.lexsort((-score_p, key))
+            key_s = key[order]
+            score_s = score_p[order]
+            is_dup = jnp.concatenate([
+                jnp.zeros((1,), bool), key_s[1:] == key_s[:-1]
+            ])
+            score_s = jnp.where(is_dup, NEG_INF, score_s)
 
             # --- top-K + beam fraction
             top_scores, top_idx = jax.lax.top_k(score_s, k_cap)
@@ -265,11 +353,11 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             deltas = jnp.where(active, new_deltas, deltas)
             hist = jnp.where(active, new_hist, hist)
             last_word = jnp.where(active, new_last, last_word)
-            tb_prev_entry = jnp.where(active, tb_prev_entry, -1)
+            tb_prev_row = jnp.where(active, tb_prev_row, -1)
 
             return (nodes, deltas, hist, last_word), (
-                tb_prev_entry.astype(jnp.int32),
-                tb_word_entry.astype(jnp.int32),
+                tb_prev_row.astype(jnp.int32),
+                tb_word_row.astype(jnp.int32),
             )
 
         def run(scores_b, n_frames_b):
@@ -299,4 +387,4 @@ class DeviceBeamDecoder(VectorBeamDecoder):
 
             return jax.vmap(one_utt)(scores_b, n_frames_b)
 
-        return jax.jit(run)
+        return run

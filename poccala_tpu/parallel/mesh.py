@@ -105,6 +105,64 @@ def shard_bank_states(bank, mesh: Mesh):
     )
 
 
+def pad_bank_states(bank, n_shards: int):
+    """Pad the bank's senone axis to a multiple of ``n_shards`` so the
+    GMM tensors divide evenly over the ``state`` mesh axis.  Padded
+    senones have ``log_w = NEG_INF`` (they score -inf and are never
+    referenced by ``senone_map``) and ``mix_counts = 0``.
+
+    :returns: (padded bank, original senone count)
+    """
+    import dataclasses
+
+    from poccala_tpu.utils.logmath import NEG_INF
+
+    s = bank.means.shape[0]
+    pad = (-s) % n_shards
+    if pad == 0:
+        return bank, s
+    w = [(0, pad)]
+
+    def p(a, fill=0.0):
+        widths = w + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    return dataclasses.replace(
+        bank,
+        means=p(bank.means),
+        log_var=p(bank.log_var),
+        log_w=p(bank.log_w, NEG_INF),
+        mix_counts=p(bank.mix_counts, 0),
+    ), s
+
+
+def unpad_bank_states(bank, s_orig: int):
+    """Inverse of :func:`pad_bank_states`."""
+    import dataclasses
+
+    if bank.means.shape[0] == s_orig:
+        return bank
+    return dataclasses.replace(
+        bank,
+        means=bank.means[:s_orig],
+        log_var=bank.log_var[:s_orig],
+        log_w=bank.log_w[:s_orig],
+        mix_counts=bank.mix_counts[:s_orig],
+    )
+
+
+def bank_pspec():
+    """Partition specs for a :class:`SenoneBank`: GMM tensors sharded
+    over ``state`` (rows = senones), transition tensors + senone map
+    replicated (they are tiny — [U, N, N])."""
+    from poccala_tpu.models.senone_bank import SenoneBank
+
+    return SenoneBank(
+        means=P("state"), log_var=P("state"), log_w=P("state"),
+        log_A=P(), log_pi=P(), mix_counts=P("state"), senone_map=P(),
+    )
+
+
 def distribute_batch(mesh: Mesh, arrays: tuple, global_batch: int):
     """Assemble globally-sharded batch arrays from per-process local
     shards (multi-host: each host contributes its ``pathInfo`` slice,
@@ -147,6 +205,8 @@ def make_parallel_estep(
     state_num: int,
     max_label_len: int,
     normalizer: str = "textbook",
+    count_final_exit: bool = True,
+    bw_inner_iters: int = 1,
 ):
     """Build the jitted data-parallel E-step.
 
@@ -162,7 +222,8 @@ def make_parallel_estep(
     def shard_fn(bank, labels, lens, xs, masks):
         stats, logliks = acc.batch_stats(
             bank, labels, lens, xs, masks, state_num, max_label_len,
-            normalizer=normalizer,
+            normalizer=normalizer, count_final_exit=count_final_exit,
+            bw_inner_iters=bw_inner_iters,
         )
         stats = jax.tree.map(lambda a: jax.lax.psum(a, "data"), stats)
         return stats, logliks
@@ -183,6 +244,8 @@ def make_parallel_train_step(
     max_label_len: int,
     c_covariance: float = 1e-6,
     normalizer: str = "textbook",
+    count_final_exit: bool = True,
+    bw_inner_iters: int = 1,
     update_transmat: bool = True,
     update_gmm: bool = True,
 ):
@@ -190,7 +253,10 @@ def make_parallel_train_step(
 
     Returns a jitted ``(bank, labels, lens, xs, masks) -> (bank', loglik)``.
     """
-    estep = make_parallel_estep(mesh, state_num, max_label_len, normalizer)
+    estep = make_parallel_estep(
+        mesh, state_num, max_label_len, normalizer,
+        count_final_exit=count_final_exit, bw_inner_iters=bw_inner_iters,
+    )
 
     @jax.jit
     def step(bank, labels, lens, xs, masks):
@@ -204,3 +270,110 @@ def make_parallel_train_step(
         return new_bank, stats.loglik
 
     return step
+
+
+# ----------------------------------------------------------------------
+# State-sharded E-step (real model parallelism over senones)
+# ----------------------------------------------------------------------
+
+def _stats_pspec():
+    """Partition specs for :class:`BwStats`: GMM moments live on the
+    senone (``state``) shards; transition stats / counters are identical
+    on every state shard and replicated."""
+    return acc.BwStats(
+        occ=P("state"), c=P("state"), cx=P("state"), cxx=P("state"),
+        trans=P(), trans_den=P(), loglik=P(), n_frames=P(), n_utts=P(),
+    )
+
+
+def make_state_sharded_estep(
+    mesh: Mesh,
+    state_num: int,
+    max_label_len: int,
+    normalizer: str = "textbook",
+    count_final_exit: bool = True,
+    bw_inner_iters: int = 1,
+):
+    """The E-step with the senone bank **actually sharded** over the
+    ``state`` mesh axis (BASELINE config 4: mixture banks larger than one
+    chip's HBM; the reference's unit partitioning across machines,
+    ``Controller.py:47-77``).
+
+    Unlike :func:`make_parallel_estep` (which replicates the bank), the
+    GMM tensors enter the shard_map as ``P('state')`` — each device holds
+    and scores only its ``S/K`` senone rows; the only cross-shard
+    exchange is a ``pmax`` of the per-utterance ``[T, N_s]`` sentence
+    score lattice (see ``accumulators.utterance_stats``
+    ``state_axis_name``).  Returned GMM statistics stay sharded
+    ``P('state')``; per-device memory and scoring FLOPs scale as 1/K.
+
+    The bank's senone axis must divide the ``state`` axis size — use
+    :func:`pad_bank_states`.
+    """
+
+    def shard_fn(bank, labels, lens, xs, masks):
+        s_local = bank.means.shape[0]
+        s_offset = jax.lax.axis_index("state") * s_local
+        stats, logliks = acc.batch_stats(
+            bank, labels, lens, xs, masks, state_num, max_label_len,
+            normalizer=normalizer, count_final_exit=count_final_exit,
+            bw_inner_iters=bw_inner_iters,
+            state_axis_name="state", s_offset=s_offset,
+        )
+        stats = jax.tree.map(lambda a: jax.lax.psum(a, "data"), stats)
+        return stats, logliks
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(bank_pspec(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(_stats_pspec(), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_state_sharded_train_step(
+    mesh: Mesh,
+    state_num: int,
+    max_label_len: int,
+    c_covariance: float = 1e-6,
+    normalizer: str = "textbook",
+    count_final_exit: bool = True,
+    bw_inner_iters: int = 1,
+    update_transmat: bool = True,
+    update_gmm: bool = True,
+):
+    """Full EM step with the senone bank sharded over ``state``: sharded
+    E-step + **sharded M-step** (the GMM parameter update is elementwise
+    per senone, so it runs on each shard's local rows; the tiny
+    transition update is computed redundantly on every shard).  The bank
+    never materializes unsharded anywhere in the step.
+    """
+
+    def shard_fn(bank, labels, lens, xs, masks):
+        s_local = bank.means.shape[0]
+        s_offset = jax.lax.axis_index("state") * s_local
+        stats, _ = acc.batch_stats(
+            bank, labels, lens, xs, masks, state_num, max_label_len,
+            normalizer=normalizer, count_final_exit=count_final_exit,
+            bw_inner_iters=bw_inner_iters,
+            state_axis_name="state", s_offset=s_offset,
+        )
+        stats = jax.tree.map(lambda a: jax.lax.psum(a, "data"), stats)
+        new_bank = acc.apply_update(
+            bank, stats,
+            c_covariance=c_covariance,
+            update_transmat=update_transmat,
+            update_gmm=update_gmm,
+        )
+        return new_bank, stats.loglik
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(bank_pspec(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(bank_pspec(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

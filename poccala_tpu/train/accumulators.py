@@ -79,7 +79,8 @@ def add_stats(a: BwStats, b: BwStats) -> BwStats:
 @functools.partial(
     jax.jit,
     static_argnames=("state_num", "max_label_len", "normalizer",
-                     "count_final_exit", "bw_inner_iters"),
+                     "count_final_exit", "bw_inner_iters",
+                     "state_axis_name"),
 )
 def utterance_stats(
     bank: SenoneBank,
@@ -93,6 +94,8 @@ def utterance_stats(
     count_final_exit: bool = True,
     bw_inner_iters: int = 1,
     bw_converge_delta: float = 0.64,
+    state_axis_name: str | None = None,
+    s_offset: jax.Array | int = 0,
 ) -> tuple[BwStats, jax.Array]:
     """One utterance's Baum-Welch statistics (the map side of the
     reference's map-reduce EM step, ``multi_embedded_training_1``,
@@ -117,24 +120,53 @@ def utterance_stats(
     iteration cap; statistics are then taken at the converged pi.  The
     default (1) is the textbook single E-step with uniform sentence pi.
 
+    ``state_axis_name``: when set (inside a ``shard_map`` whose mesh has
+    that axis), the bank's GMM tensors (``means/log_var/log_w``) are the
+    **local senone shard** — ``[S_local, M, D]`` rows ``[s_offset,
+    s_offset + S_local)`` of the global bank — while ``log_A`` /
+    ``senone_map`` stay replicated.  This is the TPU-native form of the
+    reference's multi-machine unit partitioning (``Controller.py:47-77``):
+    each shard scores only the sentence states whose senone it owns, the
+    shards exchange the tiny ``[T, N_s]`` score lattice with a ``pmax``
+    (exactly one shard owns each senone; everyone else holds NEG_INF),
+    the forward/backward DP is computed redundantly on every shard
+    (negligible vs. scoring), and the returned GMM statistics are
+    **local** (``occ[S_local]`` …) so memory and FLOPs both scale as
+    1/num_shards.  Transition statistics are identical across shards.
+
     :returns: (stats, log P(O|λ))
     """
     emit = state_num - 2
-    s_total, m, d = bank.means.shape
+    s_local, m, d = bank.means.shape
     u_total, n, _ = bank.log_A.shape
     t_pad = x.shape[0]
 
     ehmm = build_embedded(bank, label, label_len, state_num, max_label_len)
     n_s = ehmm.senone_idx.shape[0]
-    sen = jnp.clip(ehmm.senone_idx, 0, s_total - 1)
+    r = jnp.arange(n_s)
 
     # --- component scores only for this sentence's states (gather keeps
     # the lattice [T, N_s, M] small instead of [T, S, M])
-    comp = gmm_component_logpdf(
-        x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
-    ) + bank.log_w[sen][None]                       # [T, N_s, M]
-    scores = jax.nn.logsumexp(comp, axis=-1)        # [T, N_s]
-    r = jnp.arange(n_s)
+    if state_axis_name is None:
+        sen = jnp.clip(ehmm.senone_idx, 0, s_local - 1)
+        owned = ehmm.senone_idx >= 0
+        comp = gmm_component_logpdf(
+            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
+        ) + bank.log_w[sen][None]                   # [T, N_s, M]
+        scores = jax.nn.logsumexp(comp, axis=-1)    # [T, N_s]
+    else:
+        lsen_raw = ehmm.senone_idx - s_offset
+        owned = (lsen_raw >= 0) & (lsen_raw < s_local) & (ehmm.senone_idx >= 0)
+        sen = jnp.clip(lsen_raw, 0, s_local - 1)
+        comp = gmm_component_logpdf(
+            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
+        ) + bank.log_w[sen][None]
+        comp = jnp.where(owned[None, :, None], comp, NEG_INF)
+        # exchange the [T, N_s] lattice, NOT the bank: pmax assembles the
+        # full sentence scores from per-shard partial rows
+        scores = jax.lax.pmax(
+            jax.nn.logsumexp(comp, axis=-1), state_axis_name
+        )
     is_entry = r == 0
     is_exit = r == ehmm.n_states - 1
     emitting = ehmm.senone_idx >= 0
@@ -203,11 +235,13 @@ def utterance_stats(
     cxx_r = jnp.einsum("trm,td->rmd", gamma_rm, x * x)
     occ_r = jnp.where(emitting, gamma.sum(axis=0), 0.0)  # [N_s]
 
-    seg = jnp.where(emitting, sen, s_total)  # dummy bucket for virtual
-    occ = jax.ops.segment_sum(occ_r, seg, num_segments=s_total + 1)[:s_total]
-    c = jax.ops.segment_sum(c_r, seg, num_segments=s_total + 1)[:s_total]
-    cx = jax.ops.segment_sum(cx_r, seg, num_segments=s_total + 1)[:s_total]
-    cxx = jax.ops.segment_sum(cxx_r, seg, num_segments=s_total + 1)[:s_total]
+    # dummy bucket for virtual states and (in sharded mode) senones owned
+    # by another state shard — local statistics stay [S_local]
+    seg = jnp.where(emitting & owned, sen, s_local)
+    occ = jax.ops.segment_sum(occ_r, seg, num_segments=s_local + 1)[:s_local]
+    c = jax.ops.segment_sum(c_r, seg, num_segments=s_local + 1)[:s_local]
+    cx = jax.ops.segment_sum(cx_r, seg, num_segments=s_local + 1)[:s_local]
+    cxx = jax.ops.segment_sum(cxx_r, seg, num_segments=s_local + 1)[:s_local]
 
     # --- transition statistics (LHMM.__maximization cal_ksai/cal_gamma,
     #     LHMM.py:431-445, normalized by P(O))
@@ -287,6 +321,8 @@ def utterance_stats(
 def batch_stats(
     bank, labels, label_lens, xs, t_masks, state_num, max_label_len,
     normalizer: str = "textbook", count_final_exit: bool = True,
+    bw_inner_iters: int = 1,
+    state_axis_name: str | None = None, s_offset: jax.Array | int = 0,
 ):
     """vmap + fold of :func:`utterance_stats` over a batch (the
     ``Pool``-of-utterances map phase, ``AcousticModel.py:861-870``)."""
@@ -296,6 +332,9 @@ def batch_stats(
         max_label_len=max_label_len,
         normalizer=normalizer,
         count_final_exit=count_final_exit,
+        bw_inner_iters=bw_inner_iters,
+        state_axis_name=state_axis_name,
+        s_offset=s_offset,
     )
     stats, logliks = jax.vmap(
         lambda l, n, x, m: fn(bank, l, n, x, m)

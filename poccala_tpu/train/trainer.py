@@ -73,14 +73,43 @@ class Trainer:
         self.history: list[dict] = []
         self.mesh = mesh
         self._parallel_estep = None
+        self._s_orig = self.bank.num_states
+        self.state_shards = 1
         if mesh is not None:
-            from poccala_tpu.parallel import make_parallel_estep, replicate_bank
+            from poccala_tpu.parallel import mesh as pmesh
 
-            self._parallel_estep = make_parallel_estep(
-                mesh, cfg.model.state_num, cfg.train.max_label_len,
-                normalizer=cfg.model.gaussian_normalizer,
-            )
-            self.bank = replicate_bank(self.bank, mesh)
+            self.state_shards = int(dict(mesh.shape).get("state", 1))
+            if self.state_shards > 1:
+                # real model parallelism: the bank's GMM tensors shard
+                # over senones (Controller.py:47-77 unit partitioning);
+                # per-device memory/FLOPs scale as 1/state_shards
+                self.bank, self._s_orig = pmesh.pad_bank_states(
+                    self.bank, self.state_shards
+                )
+                self.bank = pmesh.shard_bank_states(self.bank, mesh)
+                self._parallel_estep = pmesh.make_state_sharded_estep(
+                    mesh, cfg.model.state_num, cfg.train.max_label_len,
+                    normalizer=cfg.model.gaussian_normalizer,
+                    count_final_exit=cfg.model.count_final_exit,
+                    bw_inner_iters=cfg.model.bw_inner_iters,
+                )
+            else:
+                self._parallel_estep = pmesh.make_parallel_estep(
+                    mesh, cfg.model.state_num, cfg.train.max_label_len,
+                    normalizer=cfg.model.gaussian_normalizer,
+                    count_final_exit=cfg.model.count_final_exit,
+                    bw_inner_iters=cfg.model.bw_inner_iters,
+                )
+                self.bank = pmesh.replicate_bank(self.bank, mesh)
+
+    def export_bank(self):
+        """The bank with state-shard padding stripped (for checkpointing
+        / decoding)."""
+        if self.bank.num_states == self._s_orig:
+            return self.bank
+        from poccala_tpu.parallel import mesh as pmesh
+
+        return pmesh.unpad_bank_states(self.bank, self._s_orig)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -147,6 +176,8 @@ class Trainer:
                     jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
                     self.state_num, self.cfg.train.max_label_len,
                     normalizer=self.cfg.model.gaussian_normalizer,
+                    count_final_exit=self.cfg.model.count_final_exit,
+                    bw_inner_iters=self.cfg.model.bw_inner_iters,
                 )
             total = acc.add_stats(total, stats)
         self.bank = acc.apply_update(

@@ -174,3 +174,107 @@ class TestDeviceDecoderLargeLexicon:
             want = chr(0x4E00 + i * n_fin + j)
             assert hyps, (i, j)
             assert hyps[0].words == (want,), (i, j, hyps[0].words)
+
+
+class TestShardedDecode:
+    def test_mesh_decode_equals_single_device(self, setup):
+        """N-device data-parallel decode must equal the 1-device decode
+        utterance-for-utterance (BASELINE config 5 shape)."""
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+        from poccala_tpu.parallel import mesh as pmesh
+
+        tr, inv, flat, utt = setup
+        dec = DeviceBeamDecoder(tr.bank, flat, candidate=3)
+        mesh = pmesh.make_mesh(data_axis=4, state_axis=2)
+
+        seqs = [[0, 1, 2, 3], [4, 5], [0, 1], [4, 5, 0, 1],
+                [0, 1, 2, 3, 4, 5], [2, 3]]
+        t_max = 80
+        feats = np.zeros((len(seqs), t_max, tr.bank.dim), np.float32)
+        nf = np.zeros(len(seqs), np.int32)
+        for i, s in enumerate(seqs):
+            x, _ = utt(s, frames_per_unit=10)
+            feats[i, : len(x)] = x
+            nf[i] = len(x)
+
+        one = dec.decode_batch(feats, nf)
+        many = dec.decode_batch(feats, nf, mesh=mesh)  # pads 6 -> 8
+        assert len(many) == len(one) == len(seqs)
+        for u, (h1, hm) in enumerate(zip(one, many)):
+            assert hm, u
+            assert hm[0].words == h1[0].words, u
+            assert np.isclose(hm[0].score, h1[0].score, rtol=1e-5), u
+
+    def test_dryrun_helper(self):
+        from poccala_tpu.parallel import decode as pdecode
+        from poccala_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(data_axis=8, state_axis=1)
+        words, scores = pdecode.dryrun(mesh)
+        assert len(words) == 16
+        assert np.isfinite(scores).all()
+        assert (words >= 1).all()
+
+
+class TestAdversarialDeviceHostAgreement:
+    def test_confusable_units_agree(self, rng):
+        """Device-vs-host 1-best agreement on deliberately confusable
+        inputs: unit embeddings share components (overlapping harmonics
+        analog), so multiple word boundaries stay competitive and the
+        single-best-emission approximation would silently prune correct
+        paths.  With emit_top>=2 the device tier must match the host
+        tier's 1-best."""
+        import dataclasses
+        import jax.numpy as jnp
+        from poccala_tpu.config import ModelConfig
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+        from poccala_tpu.io.corpus import UnitInventory
+        from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
+        from poccala_tpu.models import senone_bank as sb
+
+        d = 8
+        units = ["n", "i3", "h", "ao3", "m", "a1"]
+        inv = UnitInventory(units)
+        cfg = ModelConfig(state_num=5, mix_level=1, max_mix_level=1)
+        bank = sb.create_bank(len(units), cfg, d, differentiation=False)
+        # confusable embeddings: pairs share most of their direction
+        base = rng.normal(size=(3, d)).astype(np.float32) * 3
+        emb = np.stack([
+            base[0], base[0] + rng.normal(size=d).astype(np.float32) * 0.8,
+            base[1], base[1] + rng.normal(size=d).astype(np.float32) * 0.8,
+            base[2], base[2] + rng.normal(size=d).astype(np.float32) * 0.8,
+        ])
+        means = np.repeat(emb, 3, axis=0)[:, None, :]
+        bank = dataclasses.replace(bank, means=jnp.asarray(means))
+
+        # homophone-rich lexicon: several words share syllable prefixes
+        lex = PronunciationLexicon()
+        tree = lex.lexicon
+        tree.setdefault("n", {}).setdefault("n,i3", {})["word"] = ["你"]
+        tree["n"]["n,i3"].setdefault("h,ao3", {})["word"] = ["你好"]
+        tree["n"]["n,i3"].setdefault("m,a1", {})["word"] = ["泥马"]
+        tree.setdefault("h", {}).setdefault("h,ao3", {})["word"] = ["好"]
+        tree.setdefault("m", {}).setdefault("m,a1", {})["word"] = ["马"]
+        flat = FlatLexicon.from_tree(lex.lexicon, inv)
+
+        dec_vec = VectorBeamDecoder(bank, flat, candidate=6, max_tokens=128)
+        dec_dev = DeviceBeamDecoder(bank, flat, candidate=6, max_tokens=128,
+                                    emit_top=4)
+
+        def feats_for(seq, fp=8, noise=0.5):
+            xs = [emb[u] + rng.normal(size=(fp, d)).astype(np.float32) * noise
+                  for u in seq]
+            return np.concatenate(xs).astype(np.float32)
+
+        n_agree = n_total = 0
+        for seq in ([0, 1, 2, 3], [0, 1, 4, 5], [4, 5, 2, 3],
+                    [0, 1, 2, 3, 4, 5], [2, 3, 4, 5], [0, 1]):
+            for trial in range(3):
+                x = feats_for(seq)
+                h_vec = dec_vec.decode(x)
+                h_dev = dec_dev.decode(x)
+                assert h_dev and h_vec, seq
+                n_total += 1
+                n_agree += h_dev[0].words == h_vec[0].words
+        # exact agreement on every confusable trial
+        assert n_agree == n_total, (n_agree, n_total)
