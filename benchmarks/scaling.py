@@ -112,6 +112,30 @@ def main():
         s_total = bank.num_states
         flops = 2 * x.shape[0] * 2 * cfg.frontend.feat_dim * s_total * mix
 
+        # frontend alone: XLA path and (where applicable) the fused
+        # Pallas kernel (ops/pallas/frontend_tpu.py)
+        def time_frontend(impl):
+            @jax.jit
+            def run():
+                def step(c, _):
+                    s = jnp.where(c == 1.2345e30, signals + 1.0, signals)
+                    f, m = impl(s, n_samp)
+                    return c + jnp.sum(f), None
+                tot, _ = jax.lax.scan(step, 0.0, None, length=8)
+                return tot
+            _ = float(run())
+            t0 = time.time()
+            _ = float(run())
+            return (time.time() - t0) / 8 * 1000
+
+        fe_ms = time_frontend(fe.batch_impl)
+        try:
+            from dataclasses import replace as dc_replace
+            fe_pl = Frontend(dc_replace(cfg.frontend, use_pallas=True))
+            fe_pl_ms = time_frontend(fe_pl.batch_impl)
+        except Exception:
+            fe_pl_ms = None
+
         row = {
             "config": name,
             "senones": int(s_total),
@@ -119,6 +143,9 @@ def main():
             "batch": batch,
             "pipeline_audio_s_per_s": round(pipeline, 1),
             "epoch_ms": round(dt * 1000, 2),
+            "frontend_ms": round(fe_ms, 2),
+            "frontend_pallas_ms": (round(fe_pl_ms, 2)
+                                   if fe_pl_ms is not None else None),
             "scoring_ms": round(sdt * 1000, 2),
             "scoring_tflops": round(flops / sdt / 1e12, 2),
             "compile_s": round(compile_s, 1),

@@ -44,6 +44,11 @@ class FrontendConfig:
     # instead of the XLA FFT op (~2.6x faster on TPU for these sizes,
     # matches rfft to ~1e-4 relative)
     matmul_dft: bool = True
+    # fused Pallas frontend core for batched extraction (framing→DCT in
+    # VMEM, ops/pallas/frontend_tpu.py).  None/False = XLA path (measured
+    # faster at production shapes — see Frontend.pallas_enabled); True =
+    # the Pallas kernel (requires matmul_dft + 50% overlap).
+    use_pallas: bool | None = None
     pre_emphasis: float = 0.98      # (AudioProcessing.py:184)
     hamming_alpha: float = 0.46     # (AudioProcessing.py:228)
     num_filters: int = 26           # mel filters (AudioProcessing.py:280)

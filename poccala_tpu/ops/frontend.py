@@ -136,8 +136,16 @@ class Frontend:
             )[: cfg.frame_size]
             self._dft_cos = jnp.asarray(np.cos(k).astype(np.float32))
             self._dft_sin = jnp.asarray(np.sin(k).astype(np.float32))
+            if cfg.reference_quirks:
+                # quirks window is per *frame*, applied in-kernel
+                self._pl_cos, self._pl_sin = self._dft_cos, self._dft_sin
+            else:
+                # fold the per-sample window into the DFT bases:
+                # (frames * w) @ B == frames @ (w[:, None] * B)
+                self._pl_cos = self._dft_cos * self._window[:, None]
+                self._pl_sin = self._dft_sin * self._window[:, None]
         self._mfcc_single = jax.jit(self._mfcc_impl)
-        self._mfcc_batched = jax.jit(jax.vmap(self._mfcc_impl))
+        self._mfcc_batched = jax.jit(self.batch_impl)
 
     # ------------------------------------------------------------------
     def _frames(self, signal: jax.Array) -> jax.Array:
@@ -153,8 +161,9 @@ class Frontend:
         )
         return padded[idx]
 
-    def _mfcc_impl(self, signal: jax.Array, n_samples: jax.Array):
-        """Full pipeline on one (padded) signal.  Returns (feats, mask)."""
+    def _pre(self, signal: jax.Array, n_samples: jax.Array):
+        """Pre-emphasis + true-frame-count bookkeeping.  Returns
+        ``(pe_signal, t_true, mask)``."""
         cfg = self.cfg
         # Pre-emphasis (AudioProcessing.py:183-198): y_t = x_{t+1} - αx_t,
         # final element zero-filled.  Padded tail is zeros so the formula
@@ -164,15 +173,22 @@ class Frontend:
         # (AudioProcessing.py:196-197); with zero padding that position is
         # n_samples-1, not the end of the buffer
         pe = jnp.where(jnp.arange(pe.shape[0]) == n_samples - 1, 0.0, pe)
-        frames = self._frames(pe)  # [T_pad, frame_size]
-        t_pad = frames.shape[0]
+        t_pad = num_frames(signal.shape[0], self.frame_size, self.frame_step)
         # true frame count for this utterance
         t_true = 1 + jnp.ceil(
             (n_samples - self.frame_size) / self.frame_step
         ).astype(jnp.int32)
         t_true = jnp.clip(t_true, 1, t_pad)
+        mask = jnp.arange(t_pad) < t_true
+        return pe, t_true, mask
+
+    def _core_xla(self, pe: jax.Array, t_true: jax.Array) -> jax.Array:
+        """Framing → window → |DFT| → energy → mel → log → DCT → c0 on
+        one pre-emphasized signal: ``[T_pad, dct_num]`` cepstra."""
+        cfg = self.cfg
+        frames = self._frames(pe)  # [T_pad, frame_size]
+        t_pad = frames.shape[0]
         frame_idx = jnp.arange(t_pad)
-        mask = frame_idx < t_true
 
         # Windowing
         if cfg.reference_quirks:
@@ -188,8 +204,12 @@ class Frontend:
         # |rFFT| (AudioProcessing.py:248-264); as DFT matmuls on the MXU
         # when cfg.matmul_dft (identical to ~1e-4 relative)
         if cfg.matmul_dft:
-            re = jnp.dot(win, self._dft_cos, preferred_element_type=jnp.float32)
-            im = jnp.dot(win, self._dft_sin, preferred_element_type=jnp.float32)
+            # precision=HIGHEST: TPU f32 dots default to one bf16 MXU pass,
+            # which costs ~0.15 absolute in the final log-cepstra
+            re = jnp.dot(win, self._dft_cos, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            im = jnp.dot(win, self._dft_sin, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
             spec = jnp.sqrt(re * re + im * im)  # [T, nfft//2+1]
         else:
             spec = jnp.abs(jnp.fft.rfft(win, n=cfg.nfft, axis=-1))
@@ -202,14 +222,21 @@ class Frontend:
             energy = jnp.sum(spec * spec, axis=-1)
 
         # Mel filterbank + log + DCT: two MXU matmuls
-        fbank = jnp.dot(spec, self._fbank, preferred_element_type=jnp.float32)
+        fbank = jnp.dot(spec, self._fbank, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         log_fbank = jnp.log(jnp.maximum(fbank, _LOG_EPS))
-        ceps = jnp.dot(log_fbank, self._dct, preferred_element_type=jnp.float32)
+        ceps = jnp.dot(log_fbank, self._dct, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
         # c0 <- log frame energy (AudioProcessing.py:437-438)
         if cfg.energy_c0:
             ceps = ceps.at[:, 0].set(jnp.log(jnp.maximum(energy, _LOG_EPS)))
+        return ceps
 
+    def _post(self, ceps: jax.Array, t_true: jax.Array,
+              mask: jax.Array) -> jax.Array:
+        """Δ/ΔΔ + padding mask on the ``[T_pad, dct_num]`` cepstra."""
+        cfg = self.cfg
         feats = ceps
         if cfg.delta_1:
             d1 = self._delta(ceps, t_true)
@@ -217,20 +244,99 @@ class Frontend:
             if cfg.delta_2:
                 d2 = self._delta(d1, t_true)
                 feats = jnp.concatenate([feats, d2], axis=-1)
-        feats = jnp.where(mask[:, None], feats, 0.0)
+        return jnp.where(mask[:, None], feats, 0.0)
+
+    def _mfcc_impl(self, signal: jax.Array, n_samples: jax.Array):
+        """Full pipeline on one (padded) signal.  Returns (feats, mask)."""
+        pe, t_true, mask = self._pre(signal, n_samples)
+        ceps = self._core_xla(pe, t_true)
+        return self._post(ceps, t_true, mask), mask
+
+    # ------------------------------------------------------------------
+    def pallas_enabled(self) -> bool:
+        """Whether the fused Pallas core handles the batched pipeline.
+
+        Auto mode (``use_pallas=None``) resolves to the XLA path: on a
+        v5e at batch 256 x 4 s the measured full pipeline is 3.9 ms
+        (XLA, HIGHEST-precision matmuls) vs 4.7 ms (Pallas kernel) —
+        XLA's single [B*T, frame] @ [frame, 2K] DFT matmul plus fusion
+        beats the kernel's per-tile grid at these shapes, so the kernel
+        is opt-in (``use_pallas=True``).  Both are oracle-exact
+        (<=3e-4 abs vs the fp64 reference pipeline); round 1's frontend
+        was 9.2 ms and 0.15 off the oracle on-chip (default-precision
+        dots + a gathered delta window).
+        """
+        cfg = self.cfg
+        if cfg.use_pallas is None:
+            return False
+        if not cfg.use_pallas:
+            return False
+        if not (cfg.matmul_dft and cfg.frame_size == 2 * cfg.frame_step):
+            raise ValueError(
+                "use_pallas requires matmul_dft and 50% frame overlap "
+                "(frame_size == 2*frame_step)")
+        return True
+
+    def batch_impl(self, signals, n_samples, interpret: bool = False):
+        """Traceable batched pipeline (embed inside an outer jit).
+
+        Routes the framing→DCT core through the fused Pallas kernel when
+        :meth:`pallas_enabled`, else vmaps the XLA pipeline.  Returns
+        ``([B, T, D] feats, [B, T] mask)``.
+        """
+        signals = jnp.asarray(signals, dtype=jnp.float32)
+        n_samples = jnp.asarray(n_samples)
+        if not self.pallas_enabled() and not interpret:
+            return jax.vmap(self._mfcc_impl)(signals, n_samples)
+        from poccala_tpu.ops.pallas.frontend_tpu import mfcc_core_pallas
+
+        cfg = self.cfg
+        t_pad = num_frames(signals.shape[1], self.frame_size, self.frame_step)
+        t_true = jnp.clip(
+            1 + jnp.ceil(
+                (n_samples - self.frame_size) / self.frame_step
+            ).astype(jnp.int32),
+            1, t_pad,
+        )
+        mask = jnp.arange(t_pad)[None, :] < t_true[:, None]
+        ceps = mfcc_core_pallas(
+            signals, n_samples, t_true,
+            self._pl_cos, self._pl_sin, self._fbank, self._dct,
+            step=self.frame_step, quirks=cfg.reference_quirks,
+            energy_c0=cfg.energy_c0, alpha=cfg.hamming_alpha,
+            pre_alpha=cfg.pre_emphasis, interpret=interpret,
+        )
+        feats = jax.vmap(self._post)(ceps, t_true, mask)
         return feats, mask
 
     def _delta(self, feat: jax.Array, t_true: jax.Array) -> jax.Array:
         """±n-frame regression deltas with edge replication
         (``AudioProcessing.py:400-414``), clamped to the true frame count
         so padding never leaks into the regression."""
+        # One banded [T_pad, T_pad] matmul: delta = W @ f, where W carries
+        # the ±n regression weights with edge replication folded into the
+        # first/last rows.  The dynamic clip at t_true-1 is realized by
+        # first replicating the last *true* row into the padding, after
+        # which the static end-of-buffer edge rows are already correct.
+        # (A [T, 2n+1, D] gather here is ~10x slower on TPU, and shifted
+        # adds on the lane-padded [T, 13] layout cost ~2 ms/batch.)
+        last = jnp.take(feat, t_true - 1, axis=0)
+        valid = jnp.arange(feat.shape[0])[:, None] < t_true
+        f = jnp.where(valid, feat, last[None, :])
+        return jnp.dot(jnp.asarray(self._delta_w(feat.shape[0])), f,
+                       preferred_element_type=jnp.float32)
+
+    @functools.lru_cache(maxsize=8)
+    def _delta_w(self, t_pad: int) -> np.ndarray:
+        """Banded delta-regression matrix ``W[t, u] = k/denom`` for
+        ``u = clip(t+k, 0, t_pad-1)``, k in [-n, n]."""
         n = self.cfg.delta_n
-        t_pad = feat.shape[0]
         denom = 2 * sum(i * i for i in range(1, n + 1))
-        offsets = jnp.arange(-n, n + 1)
-        idx = jnp.clip(jnp.arange(t_pad)[:, None] + offsets[None, :], 0, t_true - 1)
-        window = feat[idx]  # [T, 2n+1, D]
-        return jnp.einsum("k,tkd->td", offsets.astype(feat.dtype), window) / denom
+        w = np.zeros((t_pad, t_pad), np.float32)
+        rows = np.arange(t_pad)
+        for k in range(-n, n + 1):
+            np.add.at(w, (rows, np.clip(rows + k, 0, t_pad - 1)), k / denom)
+        return w
 
     # ------------------------------------------------------------------
     def mfcc(self, signal, n_samples=None):
