@@ -114,6 +114,13 @@ class ModelConfig:
     # until dloglik <= 0.64 (LHMM.py:539).
     count_final_exit: bool = True
     bw_inner_iters: int = 1
+    # GMM-scoring matmul operand dtype: 'float32' (default) or
+    # 'bfloat16' — single-pass MXU matmuls on centered bf16 operands
+    # with fp32 accumulation; ~2x scoring rate and half the
+    # parameter-side HBM traffic for <0.1-nat mean score drift and
+    # <1e-3 Viterbi path flips (budget: tests/test_bf16_scoring.py;
+    # throughput: benchmarks/bf16_study.py).
+    score_dtype: str = "float32"
 
     @property
     def emit_states(self) -> int:

@@ -65,6 +65,7 @@ class BeamDecoder:
         lm=None,
         lm_weight: float = 10.0,
         normalizer: str = "textbook",
+        score_dtype: str = "float32",
     ):
         self.bank = bank
         self.lexicon = lexicon
@@ -74,6 +75,7 @@ class BeamDecoder:
         self.lm = lm
         self.lm_weight = lm_weight
         self.normalizer = normalizer
+        self.score_dtype = score_dtype
 
         n = bank.state_num
         emit = n - 2
@@ -120,6 +122,7 @@ class BeamDecoder:
         scores = gmm_log_scores_fast(
             jnp.asarray(feats), self.bank.means, self.bank.log_var,
             self.bank.log_w, normalizer=self.normalizer,
+            score_dtype=self.score_dtype,
         )
         return np.asarray(scores, np.float64)
 

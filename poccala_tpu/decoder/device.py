@@ -147,7 +147,8 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         b, t_pad, d = feats.shape
         flat = jnp.asarray(feats).reshape(b * t_pad, d)
         s = gmm_log_scores_fast(flat, self.bank.means, self.bank.log_var,
-                                self.bank.log_w, normalizer=self.normalizer)
+                                self.bank.log_w, normalizer=self.normalizer,
+                                score_dtype=self.score_dtype)
         return s.reshape(b, t_pad, -1)
 
     # ------------------------------------------------------------------

@@ -29,12 +29,13 @@ import jax.numpy as jnp
 from poccala_tpu.utils.logmath import LOG_2PI, NEG_INF
 
 
-@functools.partial(jax.jit, static_argnames=("normalizer",))
+@functools.partial(jax.jit, static_argnames=("normalizer", "score_dtype"))
 def gmm_component_logpdf(
     x: jax.Array,
     means: jax.Array,
     log_var: jax.Array,
     normalizer: str = "textbook",
+    score_dtype: str = "float32",
 ) -> jax.Array:
     """Per-component Gaussian log-densities for all frames × states.
 
@@ -43,22 +44,45 @@ def gmm_component_logpdf(
     :param log_var: ``[S, M, D]`` log diagonal variances
     :param normalizer: 'textbook' (``-0.5Σ log σ²``) or 'reference'
         (``-0.5Σ σ²``, reproducing ``util.py:29``)
+    :param score_dtype: 'float32' (fp32 operand storage, default matmul
+        precision) or 'bfloat16' — bf16 matmul operands with fp32 MXU
+        accumulation (1 pass instead of 3, half the parameter-side HBM
+        traffic).  The bf16 path centers frames and means by the bank's
+        per-dim mean (the Mahalanobis form is shift-invariant), which
+        keeps the ``x²``/``μ²`` operands small so bf16's 8-bit mantissa
+        costs <0.1 nat mean score drift instead of ~1.7 nats uncentered
+        (budget pinned in tests/test_bf16_scoring.py; TPU throughput in
+        benchmarks/bf16_study.py).
     :returns: ``[T, S, M]`` log N(x_t | μ_sm, σ²_sm)
     """
     s, m, d = means.shape
     prec = jnp.exp(-log_var)  # [S, M, D]
-    a1 = prec.reshape(s * m, d)  # x² coefficients
-    a2 = (means * prec).reshape(s * m, d)  # cross-term coefficients
-    mu2p = jnp.sum(means * means * prec, axis=-1)  # [S, M]
     if normalizer == "textbook":
         const = -0.5 * d * LOG_2PI - 0.5 * jnp.sum(log_var, axis=-1)
     elif normalizer == "reference":
         const = -0.5 * d * LOG_2PI - 0.5 * jnp.sum(jnp.exp(log_var), axis=-1)
     else:
         raise ValueError(f"unknown normalizer: {normalizer!r}")
+    if score_dtype == "bfloat16":
+        # shift-invariant centering: (x-μ)ᵀP(x-μ) is unchanged under
+        # x←x-c, μ←μ-c for any c; picking c = mean of the bank's means
+        # shrinks the quadratic operands so bf16 rounding stays benign
+        c = jnp.mean(means.reshape(s * m, d), axis=0)  # [D]
+        x = x - c[None]
+        means = means - c[None, None]
+        op = jnp.bfloat16
+    elif score_dtype == "float32":
+        op = jnp.float32
+    else:
+        raise ValueError(f"unknown score_dtype: {score_dtype!r}")
+    a1 = prec.reshape(s * m, d)  # x² coefficients
+    a2 = (means * prec).reshape(s * m, d)  # cross-term coefficients
+    mu2p = jnp.sum(means * means * prec, axis=-1)  # [S, M]
     quad = (
-        jnp.dot(x * x, a1.T, preferred_element_type=jnp.float32)
-        - 2.0 * jnp.dot(x, a2.T, preferred_element_type=jnp.float32)
+        jnp.dot((x * x).astype(op), a1.astype(op).T,
+                preferred_element_type=jnp.float32)
+        - 2.0 * jnp.dot(x.astype(op), a2.astype(op).T,
+                        preferred_element_type=jnp.float32)
     )  # [T, S*M]
     t = x.shape[0]
     return (
@@ -66,7 +90,10 @@ def gmm_component_logpdf(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("normalizer", "return_components"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("normalizer", "return_components", "score_dtype"),
+)
 def gmm_log_scores(
     x: jax.Array,
     means: jax.Array,
@@ -74,6 +101,7 @@ def gmm_log_scores(
     log_w: jax.Array,
     normalizer: str = "textbook",
     return_components: bool = False,
+    score_dtype: str = "float32",
 ):
     """State-level GMM log-likelihoods for all frames.
 
@@ -88,7 +116,8 @@ def gmm_log_scores(
     :returns: ``[T, S]`` state scores; with ``return_components`` also the
         ``[T, S, M]`` weighted component log-probs (the ``record`` cache)
     """
-    comp = gmm_component_logpdf(x, means, log_var, normalizer=normalizer)
+    comp = gmm_component_logpdf(x, means, log_var, normalizer=normalizer,
+                                score_dtype=score_dtype)
     weighted = comp + log_w[None]  # [T, S, M]
     scores = jax.nn.logsumexp(weighted, axis=-1)
     if return_components:
@@ -97,10 +126,12 @@ def gmm_log_scores(
 
 
 def gmm_log_scores_batch(x, x_mask, means, log_var, log_w,
-                         normalizer: str = "textbook"):
+                         normalizer: str = "textbook",
+                         score_dtype: str = "float32"):
     """Batched scoring: ``x[B, T, D]`` → ``[B, T, S]``; padded frames are
     scored but the mask is passed through for downstream DP kernels."""
-    fn = functools.partial(gmm_log_scores, normalizer=normalizer)
+    fn = functools.partial(gmm_log_scores, normalizer=normalizer,
+                           score_dtype=score_dtype)
     scores = jax.vmap(lambda xx: fn(xx, means, log_var, log_w))(x)
     return scores, x_mask
 

@@ -33,22 +33,35 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pack_params(means, log_var, log_w, normalizer: str):
-    """Per-mixture matmul weights ``[M, 2D, S]`` and bias ``[M, S]``."""
+def _pack_params(means, log_var, log_w, normalizer: str,
+                 score_dtype: str = "float32"):
+    """Per-mixture matmul weights ``[M, 2D, S]``, bias ``[M, S]`` and the
+    per-dim centering offset ``[D]`` (zero in fp32; the bank-mean shift
+    for bf16 — see ``ops/gmm_score.py`` on why centering makes bf16
+    operands safe)."""
     s, m, d = means.shape
     prec = jnp.exp(-log_var)                           # [S, M, D]
-    w_x2 = (-0.5 * prec).transpose(1, 2, 0)            # [M, D, S]
-    w_x = (means * prec).transpose(1, 2, 0)            # [M, D, S]
-    weight = jnp.concatenate([w_x2, w_x], axis=1)      # [M, 2D, S]
-    mu2p = jnp.sum(means * means * prec, axis=-1)      # [S, M]
     if normalizer == "textbook":
         const = -0.5 * d * LOG_2PI - 0.5 * jnp.sum(log_var, axis=-1)
     elif normalizer == "reference":
         const = -0.5 * d * LOG_2PI - 0.5 * jnp.sum(jnp.exp(log_var), axis=-1)
     else:
         raise ValueError(normalizer)
+    if score_dtype == "bfloat16":
+        center = jnp.mean(means.reshape(s * m, d), axis=0)  # [D]
+        means = means - center[None, None]
+        op = jnp.bfloat16
+    elif score_dtype == "float32":
+        center = jnp.zeros((d,), jnp.float32)
+        op = jnp.float32
+    else:
+        raise ValueError(score_dtype)
+    w_x2 = (-0.5 * prec).transpose(1, 2, 0)            # [M, D, S]
+    w_x = (means * prec).transpose(1, 2, 0)            # [M, D, S]
+    weight = jnp.concatenate([w_x2, w_x], axis=1).astype(op)  # [M, 2D, S]
+    mu2p = jnp.sum(means * means * prec, axis=-1)      # [S, M]
     bias = (-0.5 * mu2p + const + jnp.maximum(log_w, NEG_INF)).T  # [M, S]
-    return weight, bias
+    return weight, bias, center
 
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, mx_ref, ss_ref, *, mix: int):
@@ -77,7 +90,9 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, mx_ref, ss_ref, *, mix: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("normalizer", "t_tile", "s_tile", "interpret")
+    jax.jit,
+    static_argnames=("normalizer", "t_tile", "s_tile", "interpret",
+                     "score_dtype"),
 )
 def gmm_log_scores_pallas(
     x: jax.Array,
@@ -88,11 +103,15 @@ def gmm_log_scores_pallas(
     t_tile: int = 512,
     s_tile: int = 256,
     interpret: bool = False,
+    score_dtype: str = "float32",
 ):
     """Drop-in replacement for
     :func:`poccala_tpu.ops.gmm_score.gmm_log_scores` (state scores only).
 
     Pads T and S to tile multiples internally; returns ``[T, S]``.
+    ``score_dtype='bfloat16'`` runs the MXU matmul single-pass on bf16
+    operands with fp32 accumulation (centering as in
+    ``ops/gmm_score.py``); the logsumexp state stays fp32.
     """
     t, d = x.shape
     s, m, _ = means.shape
@@ -102,11 +121,13 @@ def gmm_log_scores_pallas(
     t_pad = _ceil_to(t, t_tile)
     s_pad = _ceil_to(s, s_tile)
 
-    weight, bias = _pack_params(means, log_var, log_w, normalizer)
+    weight, bias, center = _pack_params(means, log_var, log_w, normalizer,
+                                        score_dtype)
     if s_pad != s:
         weight = jnp.pad(weight, ((0, 0), (0, 0), (0, s_pad - s)))
         bias = jnp.pad(bias, ((0, 0), (0, s_pad - s)), constant_values=NEG_INF)
-    xa = jnp.concatenate([x * x, x], axis=1)           # [T, 2D]
+    xc = x - center[None]
+    xa = jnp.concatenate([xc * xc, xc], axis=1).astype(weight.dtype)  # [T, 2D]
     if t_pad != t:
         xa = jnp.pad(xa, ((0, t_pad - t), (0, 0)))
     bias3d = bias[:, None, :]                          # [M, 1, S_pad]
@@ -132,7 +153,10 @@ def gmm_log_scores_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * 2 * d * s_pad * m,
-            bytes_accessed=4 * (t_pad * 2 * d + 2 * d * s_pad * m + t_pad * s_pad),
+            bytes_accessed=(
+                xa.dtype.itemsize * (t_pad * 2 * d + 2 * d * s_pad * m)
+                + 4 * t_pad * s_pad
+            ),
             transcendentals=t_pad * s_pad * m,
         ),
         interpret=interpret,
@@ -140,11 +164,14 @@ def gmm_log_scores_pallas(
     return out[:t, :s]
 
 
-def gmm_log_scores_fast(x, means, log_var, log_w, normalizer="textbook"):
+def gmm_log_scores_fast(x, means, log_var, log_w, normalizer="textbook",
+                        score_dtype="float32"):
     """Pallas kernel on TPU, XLA fallback elsewhere."""
     if jax.default_backend() in ("tpu", "axon"):
         return gmm_log_scores_pallas(x, means, log_var, log_w,
-                                     normalizer=normalizer)
+                                     normalizer=normalizer,
+                                     score_dtype=score_dtype)
     from poccala_tpu.ops.gmm_score import gmm_log_scores
 
-    return gmm_log_scores(x, means, log_var, log_w, normalizer=normalizer)
+    return gmm_log_scores(x, means, log_var, log_w, normalizer=normalizer,
+                          score_dtype=score_dtype)

@@ -207,6 +207,7 @@ def make_parallel_estep(
     normalizer: str = "textbook",
     count_final_exit: bool = True,
     bw_inner_iters: int = 1,
+    score_dtype: str = "float32",
 ):
     """Build the jitted data-parallel E-step.
 
@@ -223,7 +224,7 @@ def make_parallel_estep(
         stats, logliks = acc.batch_stats(
             bank, labels, lens, xs, masks, state_num, max_label_len,
             normalizer=normalizer, count_final_exit=count_final_exit,
-            bw_inner_iters=bw_inner_iters,
+            bw_inner_iters=bw_inner_iters, score_dtype=score_dtype,
         )
         stats = jax.tree.map(lambda a: jax.lax.psum(a, "data"), stats)
         return stats, logliks
@@ -248,6 +249,7 @@ def make_parallel_train_step(
     bw_inner_iters: int = 1,
     update_transmat: bool = True,
     update_gmm: bool = True,
+    score_dtype: str = "float32",
 ):
     """Full distributed EM step: parallel E-step + replicated M-step.
 
@@ -256,6 +258,7 @@ def make_parallel_train_step(
     estep = make_parallel_estep(
         mesh, state_num, max_label_len, normalizer,
         count_final_exit=count_final_exit, bw_inner_iters=bw_inner_iters,
+        score_dtype=score_dtype,
     )
 
     @jax.jit
@@ -293,6 +296,7 @@ def make_state_sharded_estep(
     normalizer: str = "textbook",
     count_final_exit: bool = True,
     bw_inner_iters: int = 1,
+    score_dtype: str = "float32",
 ):
     """The E-step with the senone bank **actually sharded** over the
     ``state`` mesh axis (BASELINE config 4: mixture banks larger than one
@@ -317,7 +321,7 @@ def make_state_sharded_estep(
         stats, logliks = acc.batch_stats(
             bank, labels, lens, xs, masks, state_num, max_label_len,
             normalizer=normalizer, count_final_exit=count_final_exit,
-            bw_inner_iters=bw_inner_iters,
+            bw_inner_iters=bw_inner_iters, score_dtype=score_dtype,
             state_axis_name="state", s_offset=s_offset,
         )
         stats = jax.tree.map(lambda a: jax.lax.psum(a, "data"), stats)
@@ -343,6 +347,7 @@ def make_state_sharded_train_step(
     bw_inner_iters: int = 1,
     update_transmat: bool = True,
     update_gmm: bool = True,
+    score_dtype: str = "float32",
 ):
     """Full EM step with the senone bank sharded over ``state``: sharded
     E-step + **sharded M-step** (the GMM parameter update is elementwise
@@ -357,7 +362,7 @@ def make_state_sharded_train_step(
         stats, _ = acc.batch_stats(
             bank, labels, lens, xs, masks, state_num, max_label_len,
             normalizer=normalizer, count_final_exit=count_final_exit,
-            bw_inner_iters=bw_inner_iters,
+            bw_inner_iters=bw_inner_iters, score_dtype=score_dtype,
             state_axis_name="state", s_offset=s_offset,
         )
         stats = jax.tree.map(lambda a: jax.lax.psum(a, "data"), stats)

@@ -80,7 +80,7 @@ def add_stats(a: BwStats, b: BwStats) -> BwStats:
     jax.jit,
     static_argnames=("state_num", "max_label_len", "normalizer",
                      "count_final_exit", "bw_inner_iters",
-                     "state_axis_name"),
+                     "state_axis_name", "score_dtype"),
 )
 def utterance_stats(
     bank: SenoneBank,
@@ -96,6 +96,7 @@ def utterance_stats(
     bw_converge_delta: float = 0.64,
     state_axis_name: str | None = None,
     s_offset: jax.Array | int = 0,
+    score_dtype: str = "float32",
 ) -> tuple[BwStats, jax.Array]:
     """One utterance's Baum-Welch statistics (the map side of the
     reference's map-reduce EM step, ``multi_embedded_training_1``,
@@ -151,7 +152,8 @@ def utterance_stats(
         sen = jnp.clip(ehmm.senone_idx, 0, s_local - 1)
         owned = ehmm.senone_idx >= 0
         comp = gmm_component_logpdf(
-            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
+            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer,
+            score_dtype=score_dtype,
         ) + bank.log_w[sen][None]                   # [T, N_s, M]
         scores = jax.nn.logsumexp(comp, axis=-1)    # [T, N_s]
     else:
@@ -159,7 +161,8 @@ def utterance_stats(
         owned = (lsen_raw >= 0) & (lsen_raw < s_local) & (ehmm.senone_idx >= 0)
         sen = jnp.clip(lsen_raw, 0, s_local - 1)
         comp = gmm_component_logpdf(
-            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
+            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer,
+            score_dtype=score_dtype,
         ) + bank.log_w[sen][None]
         comp = jnp.where(owned[None, :, None], comp, NEG_INF)
         # exchange the [T, N_s] lattice, NOT the bank: pmax assembles the
@@ -323,6 +326,7 @@ def batch_stats(
     normalizer: str = "textbook", count_final_exit: bool = True,
     bw_inner_iters: int = 1,
     state_axis_name: str | None = None, s_offset: jax.Array | int = 0,
+    score_dtype: str = "float32",
 ):
     """vmap + fold of :func:`utterance_stats` over a batch (the
     ``Pool``-of-utterances map phase, ``AcousticModel.py:861-870``)."""
@@ -335,6 +339,7 @@ def batch_stats(
         bw_inner_iters=bw_inner_iters,
         state_axis_name=state_axis_name,
         s_offset=s_offset,
+        score_dtype=score_dtype,
     )
     stats, logliks = jax.vmap(
         lambda l, n, x, m: fn(bank, l, n, x, m)

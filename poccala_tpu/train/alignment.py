@@ -27,7 +27,9 @@ from poccala_tpu.utils.logmath import NEG_INF
 
 
 @functools.partial(
-    jax.jit, static_argnames=("state_num", "max_label_len", "normalizer")
+    jax.jit,
+    static_argnames=("state_num", "max_label_len", "normalizer",
+                     "score_dtype"),
 )
 def align_utterance(
     bank: SenoneBank,
@@ -38,6 +40,7 @@ def align_utterance(
     state_num: int,
     max_label_len: int,
     normalizer: str = "textbook",
+    score_dtype: str = "float32",
 ):
     """Viterbi-align one utterance against its sentence HMM.
 
@@ -48,7 +51,8 @@ def align_utterance(
     ehmm = build_embedded(bank, label, label_len, state_num, max_label_len)
     sen = jnp.clip(ehmm.senone_idx, 0, s_total - 1)
     comp = gmm_component_logpdf(
-        x, bank.means[sen], bank.log_var[sen], normalizer=normalizer
+        x, bank.means[sen], bank.log_var[sen], normalizer=normalizer,
+        score_dtype=score_dtype,
     ) + bank.log_w[sen][None]
     scores = jax.nn.logsumexp(comp, axis=-1)
     r = jnp.arange(ehmm.senone_idx.shape[0])
@@ -68,13 +72,15 @@ def align_utterance(
 
 
 def align_batch(bank, labels, label_lens, xs, t_masks, state_num,
-                max_label_len, normalizer: str = "textbook"):
+                max_label_len, normalizer: str = "textbook",
+                score_dtype: str = "float32"):
     """vmap of :func:`align_utterance`."""
     fn = functools.partial(
         align_utterance,
         state_num=state_num,
         max_label_len=max_label_len,
         normalizer=normalizer,
+        score_dtype=score_dtype,
     )
     return jax.vmap(lambda l, n, x, m: fn(bank, l, n, x, m))(
         labels, label_lens, xs, t_masks

@@ -92,6 +92,7 @@ class Trainer:
                     normalizer=cfg.model.gaussian_normalizer,
                     count_final_exit=cfg.model.count_final_exit,
                     bw_inner_iters=cfg.model.bw_inner_iters,
+                    score_dtype=cfg.model.score_dtype,
                 )
             else:
                 self._parallel_estep = pmesh.make_parallel_estep(
@@ -99,6 +100,7 @@ class Trainer:
                     normalizer=cfg.model.gaussian_normalizer,
                     count_final_exit=cfg.model.count_final_exit,
                     bw_inner_iters=cfg.model.bw_inner_iters,
+                    score_dtype=cfg.model.score_dtype,
                 )
                 self.bank = pmesh.replicate_bank(self.bank, mesh)
 
@@ -178,6 +180,7 @@ class Trainer:
                     normalizer=self.cfg.model.gaussian_normalizer,
                     count_final_exit=self.cfg.model.count_final_exit,
                     bw_inner_iters=self.cfg.model.bw_inner_iters,
+                    score_dtype=self.cfg.model.score_dtype,
                 )
             total = acc.add_stats(total, stats)
         self.bank = acc.apply_update(
@@ -216,6 +219,7 @@ class Trainer:
                     jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
                     self.state_num, self.cfg.train.max_label_len,
                     normalizer=self.cfg.model.gaussian_normalizer,
+                    score_dtype=self.cfg.model.score_dtype,
                 )
                 label_pos = np.asarray(lp)
                 ok = align.check_alignment(
