@@ -152,6 +152,77 @@ def cmd_decode(args):
         }, ensure_ascii=False))
 
 
+def cmd_listen(args):
+    """Online serving: capture a window from the microphone (or take a
+    WAV via ``--wav``), run frontend + utterance-global VAD exactly like
+    the reference's serving loop (``Decoder.main``,
+    ``Decoder.py:190-218``), then **stream-decode** the features chunk
+    by chunk, printing a partial 1-best after every chunk (the piece the
+    reference never finished)."""
+    import numpy as np
+
+    from poccala_tpu.decoder.device import DeviceBeamDecoder
+    from poccala_tpu.io import wav as wav_io
+    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
+    from poccala_tpu.ops import vad as vad_ops
+    from poccala_tpu.ops.frontend import Frontend
+    from poccala_tpu.train import checkpoint as ckpt
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    bank, _ = ckpt.load_checkpoint(args.checkpoint)
+    lex = PronunciationLexicon()
+    lex.load(args.lexicon)
+    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    lm = None
+    if args.lm:
+        from poccala_tpu.lm import Ngram
+
+        lm = Ngram(args.lm_order)
+        lm.init_gram(args.lm)
+    dec = DeviceBeamDecoder(bank, flat, beam=args.beam, lm=lm,
+                            normalizer=cfg.model.gaussian_normalizer,
+                            score_dtype=cfg.model.score_dtype)
+    fe = Frontend(cfg.frontend)
+
+    if args.wav:
+        data, _ = wav_io.load_wav(args.wav)
+    else:
+        import tempfile
+
+        from poccala_tpu.io import audio_device
+
+        path = os.path.join(tempfile.gettempdir(), "poccala_listen.wav")
+        print(f"recording {args.seconds:.1f}s ...", file=sys.stderr)
+        audio_device.record(args.seconds, path,
+                            rate=cfg.frontend.sample_rate)
+        data, _ = wav_io.load_wav(path)
+    sig = wav_io.preprocess_signal(
+        data, drop_zeros=cfg.frontend.reference_quirks)
+    feats, mask = fe.mfcc(sig)
+    if cfg.frontend.vad:
+        keep = vad_ops.vad_mask(feats, mask)
+    else:
+        keep = mask
+    packed, n = vad_ops.apply_mask(feats, keep)
+    packed = np.asarray(packed)[: int(n)]
+
+    chunk = max(int(args.chunk_frames), 1)
+    st = dec.stream_init(batch=1, max_frames=len(packed))
+    for lo in range(0, len(packed), chunk):
+        st = dec.stream_feed(st, packed[lo: lo + chunk])
+        partial = dec.stream_result(st)[0]
+        print(json.dumps({
+            "frames": st.t_offset,
+            "partial": list(partial[0].words) if partial else [],
+        }, ensure_ascii=False), flush=True)
+    hyps = dec.stream_result(st, return_nbest=5)[0]
+    print(json.dumps({
+        "final": [{"words": list(h.words), "score": h.score}
+                  for h in hyps],
+    }, ensure_ascii=False))
+
+
 def cmd_export_ref(args):
     from poccala_tpu.train import checkpoint as ckpt
 
@@ -245,6 +316,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "on-device scan, or the simple reference path")
     d.add_argument("wavs", nargs="+")
     d.set_defaults(fn=cmd_decode)
+
+    li = sub.add_parser("listen")
+    li.add_argument("--checkpoint", required=True)
+    li.add_argument("--lexicon", required=True)
+    li.add_argument("--lm")
+    li.add_argument("--lm-order", type=int, default=2)
+    li.add_argument("--beam", type=float, default=0.85)
+    li.add_argument("--wav",
+                    help="decode this WAV instead of recording (no "
+                         "microphone needed)")
+    li.add_argument("--seconds", type=float, default=5.0,
+                    help="microphone capture window (Decoder.py:190)")
+    li.add_argument("--chunk-frames", type=int, default=25,
+                    help="stream-decode chunk size in frames")
+    li.set_defaults(fn=cmd_listen)
 
     e = sub.add_parser("export-ref")
     e.add_argument("--checkpoint", required=True)

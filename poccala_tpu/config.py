@@ -115,11 +115,13 @@ class ModelConfig:
     count_final_exit: bool = True
     bw_inner_iters: int = 1
     # GMM-scoring matmul operand dtype: 'float32' (default) or
-    # 'bfloat16' — single-pass MXU matmuls on centered bf16 operands
-    # with fp32 accumulation; ~2x scoring rate and half the
-    # parameter-side HBM traffic for <0.1-nat mean score drift and
-    # <1e-3 Viterbi path flips (budget: tests/test_bf16_scoring.py;
-    # throughput: benchmarks/bf16_study.py).
+    # 'bfloat16' — bf16 matmul operands (centered) with fp32
+    # accumulation.  Halves the parameter-side HBM traffic; measured
+    # scoring-rate gain at current bank shapes is nil (the D=39
+    # contraction is not MXU-bound, and XLA's default fp32 matmul
+    # already runs single-pass bf16 on TPU) — see
+    # benchmarks/bf16_study.json.  Accuracy budget (<0.1-nat mean score
+    # drift, <1e-3 Viterbi path flips): tests/test_bf16_scoring.py.
     score_dtype: str = "float32"
 
     @property

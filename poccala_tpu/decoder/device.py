@@ -38,9 +38,24 @@ from __future__ import annotations
 
 import numpy as np
 
+from dataclasses import dataclass, field
+
 from poccala_tpu.decoder.beam import Hypothesis
 from poccala_tpu.decoder.vector import VectorBeamDecoder
 from poccala_tpu.utils.logmath import NEG_INF
+
+
+@dataclass
+class _StreamState:
+    """Carry of an online decode session (see
+    :meth:`DeviceBeamDecoder.stream_init`)."""
+
+    batch: int
+    max_frames: int
+    t_offset: int = 0
+    carry: tuple | None = None
+    tb_prev: list = field(default_factory=list)
+    tb_word: list = field(default_factory=list)
 
 
 class DeviceBeamDecoder(VectorBeamDecoder):
@@ -139,6 +154,154 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             ptr = tb_prev[ptr]
         return tuple(reversed(words))
 
+    # ------------------------------------------------------------------
+    # Streaming (online) decode: the reference's serving intent —
+    # record → VAD → decode (Decoder.py:190-218) — as a chunk-
+    # incremental API.  The scan carry (nodes, deltas, hist, last_word)
+    # and the traceback lattice persist across chunks; pointers are
+    # absolute frame indices, so concatenated per-chunk lattice rows
+    # form the same [T_total*E] table the one-shot scan writes, and a
+    # chunked decode reproduces the one-shot result exactly (pinned in
+    # tests/test_streaming_decode.py).
+    # ------------------------------------------------------------------
+
+    def stream_init(self, batch: int = 1, max_frames: int = 4096):
+        """Start a streaming decode session.
+
+        :param batch: number of parallel audio streams
+        :param max_frames: total-frame capacity (sizes the traceback-
+            pointer key space; exceeding it raises at feed time)
+        """
+        self._prep_device()
+        return _StreamState(batch=batch, max_frames=max_frames)
+
+    def stream_feed(self, st, feats_chunk, n_valid=None):
+        """Advance the token machine over one feature chunk.
+
+        :param feats_chunk: ``[B, Tc, D]`` (or ``[Tc, D]`` when
+            ``batch == 1``) — VAD-kept frames only, as in the
+            reference's serving loop
+        :param n_valid: ``[B]`` valid frame counts (default: full chunk)
+        """
+        import jax.numpy as jnp
+
+        feats_chunk = np.asarray(feats_chunk, np.float32)
+        if feats_chunk.ndim == 2:
+            feats_chunk = feats_chunk[None]
+        b, t_c, _ = feats_chunk.shape
+        if b != st.batch:
+            raise ValueError(f"stream batch {st.batch} != chunk batch {b}")
+        if st.t_offset + t_c > st.max_frames:
+            raise ValueError(
+                f"stream exceeds max_frames={st.max_frames}; "
+                f"restart with a larger capacity"
+            )
+        if n_valid is None:
+            n_valid = np.full((b,), t_c, np.int32)
+        scores = self._frame_scores_device(feats_chunk)      # [B, Tc, S]
+        run = self._chunk_scan_fn(t_c, st.max_frames)
+        if st.carry is None:
+            seed = self._seed_fn(t_c, st.max_frames)
+            st.carry = seed(scores)
+        st.carry, (tb_prev, tb_word) = run(
+            st.carry,
+            scores,
+            jnp.asarray(np.int32(st.t_offset)),
+            jnp.asarray(n_valid.astype(np.int32)),
+        )
+        # [B, Tc, E] chunk lattice rows appended in frame order: row
+        # index in the concatenated table == absolute ti*E + e
+        st.tb_prev.append(np.asarray(tb_prev).reshape(b, -1))
+        st.tb_word.append(np.asarray(tb_word).reshape(b, -1))
+        st.t_offset += t_c
+        return st
+
+    def stream_result(self, st, return_nbest: int = 1):
+        """Current n-best hypotheses (callable at any point; the stream
+        may continue afterwards)."""
+        if st.carry is None:
+            return [[] for _ in range(st.batch)]
+        nodes, deltas, hist, last_word = (np.asarray(a) for a in st.carry)
+        tb_prev = np.concatenate(st.tb_prev, axis=1)
+        tb_word = np.concatenate(st.tb_word, axis=1)
+        out: list[list[Hypothesis]] = []
+        for u in range(st.batch):
+            exits = self._exit_scores(deltas[u], np.clip(nodes[u], 0, None))
+            best: dict[tuple, float] = {}
+            for k in range(self.max_tokens):
+                if nodes[u, k] < 0 or exits[k] <= NEG_INF / 2:
+                    continue
+                for w_id in self._word_tab[nodes[u, k]]:
+                    if w_id < 0:
+                        continue
+                    lm = float(self._lm_tab[last_word[u, k], w_id])
+                    seq = self._backtrace(tb_prev[u], tb_word[u], hist[u, k])
+                    seq = seq + (self._vocab[w_id],)
+                    score = float(exits[k]) + lm
+                    if seq not in best or score > best[seq]:
+                        best[seq] = score
+            hyps = [Hypothesis(score=s, words=w) for w, s in best.items()]
+            hyps.sort(reverse=True)
+            out.append(hyps[:return_nbest])
+        return out
+
+    def decode_stream(self, chunks, return_nbest: int = 1):
+        """Convenience: decode one utterance (or batch) delivered as a
+        list of feature chunks; equals the one-shot
+        :meth:`decode_batch` on the concatenated features."""
+        chunks = [np.asarray(c, np.float32) for c in chunks]
+        if not chunks:
+            return []
+        b = 1 if chunks[0].ndim == 2 else chunks[0].shape[0]
+        total = sum(c.shape[-2] for c in chunks)
+        st = self.stream_init(batch=b, max_frames=total)
+        for c in chunks:
+            st = self.stream_feed(st, c)
+        return self.stream_result(st, return_nbest=return_nbest)
+
+    def _chunk_scan_fn(self, t_c: int, max_frames: int):
+        import jax
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_chunk_cache", None)
+        if cache is None:
+            cache = self._chunk_cache = {}
+        key = (t_c, max_frames)
+        if key in cache:
+            return cache[key]
+        one_utt_step, _ = self._build_step(max_frames * self.emit_top)
+
+        def run_chunk(carry_b, scores_b, t0, n_valid_b):
+            def one_utt(carry_u, scores_u, n_valid_u):
+                tis = t0 + jnp.arange(t_c, dtype=jnp.int32)
+                actives = jnp.arange(t_c) < n_valid_u
+                return jax.lax.scan(
+                    one_utt_step, carry_u, (scores_u, tis, actives)
+                )
+
+            return jax.vmap(one_utt, in_axes=(0, 0, 0))(
+                carry_b, scores_b, n_valid_b
+            )
+
+        fn = jax.jit(run_chunk)
+        cache[key] = fn
+        return fn
+
+    def _seed_fn(self, t_c: int, max_frames: int):
+        import jax
+
+        cache = getattr(self, "_seed_cache", None)
+        if cache is None:
+            cache = self._seed_cache = {}
+        key = (t_c, max_frames)
+        if key in cache:
+            return cache[key]
+        _, seed_state = self._build_step(max_frames * self.emit_top)
+        seed_t = min(10, t_c)
+        fn = jax.jit(jax.vmap(lambda s: seed_state(s, seed_t)))
+        cache[key] = fn
+        return fn
+
     def _frame_scores_device(self, feats):
         import jax.numpy as jnp
 
@@ -195,9 +358,11 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         cache[key] = fn
         return fn
 
-    def _build_scan(self, t_pad: int):
-        """Build the raw (unjitted) ``run(scores[B,T,S], n_frames[B])``
-        scan program."""
+    def _build_step(self, n_ptr: int):
+        """Build the per-frame token-machine step shared by the one-shot
+        scan (:meth:`_build_scan`) and the chunk-incremental stream scan
+        (:meth:`_build_chunk_scan`).  ``n_ptr`` sizes the traceback-
+        pointer key space (= max total frames × E)."""
         import jax
         import jax.numpy as jnp
 
@@ -214,8 +379,6 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         w_band = bands.shape[-1]
         beam = self.beam
         e_top = self.emit_top
-        # traceback pointers live in the flattened [T*E] lattice
-        n_ptr = t_pad * e_top
         # score-ranked root selection: with large lexicons (hundreds of
         # first-syllable nodes) only the acoustically-plausible roots are
         # seeded/restarted each frame, ranked by their first emitting
@@ -361,29 +524,41 @@ class DeviceBeamDecoder(VectorBeamDecoder):
                 tb_word_row.astype(jnp.int32),
             )
 
+        def seed_state(scores_u, seed_t: int):
+            # initial seeding: top roots by mean first-senone score
+            # over the opening frames (generate_first_word analog)
+            seed_n = int(min(r, k_cap))
+            root_rank = jnp.mean(
+                scores_u[:seed_t][:, root_first_sen], axis=0
+            )  # [R]
+            _, seed_sel = jax.lax.top_k(root_rank, int(min(r, seed_n)))
+            seed_roots = roots[seed_sel]
+            nodes0 = jnp.full((k_cap,), -1, jnp.int32)
+            nodes0 = nodes0.at[: len(seed_roots)].set(seed_roots)
+            deltas0 = jnp.full((k_cap, n_s), NEG_INF)
+            deltas0 = deltas0.at[: len(seed_roots), 0].set(0.0)
+            hist0 = jnp.full((k_cap,), -1, jnp.int32)
+            last0 = jnp.full((k_cap,), v, jnp.int32)
+            return (nodes0, deltas0, hist0, last0)
+
+        return one_utt_step, seed_state
+
+    def _build_scan(self, t_pad: int):
+        """Build the raw (unjitted) ``run(scores[B,T,S], n_frames[B])``
+        scan program."""
+        import jax
+        import jax.numpy as jnp
+
+        e_top = self.emit_top
+        one_utt_step, seed_state = self._build_step(t_pad * e_top)
+
         def run(scores_b, n_frames_b):
             def one_utt(scores_u, n_frames_u):
-                # initial seeding: top roots by mean first-senone score
-                # over the opening frames (generate_first_word analog)
-                seed_n = int(min(r, k_cap))
-                seed_t = min(10, t_pad)
-                root_rank = jnp.mean(
-                    scores_u[:seed_t][:, root_first_sen], axis=0
-                )  # [R]
-                _, seed_sel = jax.lax.top_k(root_rank, int(min(r, seed_n)))
-                seed_roots = roots[seed_sel]
-                nodes0 = jnp.full((k_cap,), -1, jnp.int32)
-                nodes0 = nodes0.at[: len(seed_roots)].set(seed_roots)
-                deltas0 = jnp.full((k_cap, n_s), NEG_INF)
-                deltas0 = deltas0.at[: len(seed_roots), 0].set(0.0)
-                hist0 = jnp.full((k_cap,), -1, jnp.int32)
-                last0 = jnp.full((k_cap,), v, jnp.int32)
+                carry0 = seed_state(scores_u, min(10, t_pad))
                 tis = jnp.arange(t_pad, dtype=jnp.int32)
                 actives = tis < n_frames_u
                 return jax.lax.scan(
-                    one_utt_step,
-                    (nodes0, deltas0, hist0, last0),
-                    (scores_u, tis, actives),
+                    one_utt_step, carry0, (scores_u, tis, actives)
                 )
 
             return jax.vmap(one_utt)(scores_b, n_frames_b)

@@ -62,15 +62,21 @@ class VectorBeamDecoder(BeamDecoder):
                 word_tab[i, j] = self._word_of[w]
         self._vocab = vocab
         self._word_tab = word_tab
-        # LM tables: unigram + bigram over the lexicon vocabulary
+        # LM tables: unigram + bigram over the lexicon vocabulary.
+        # Ngram LMs build the table vectorized in O(#bigrams + V)
+        # (Ngram.bigram_matrix); foreign LM objects fall back to per-pair
+        # logprob calls.
         v = len(vocab)
         if self.lm is not None and v:
-            uni = np.array([self.lm.logprob(w, []) for w in vocab])
-            bi = np.zeros((v + 1, v))
-            bi[v] = uni  # "no previous word" row
-            for p in range(v):
-                for q in range(v):
-                    bi[p, q] = self.lm.logprob(vocab[q], [vocab[p]])
+            if hasattr(self.lm, "bigram_matrix"):
+                bi = self.lm.bigram_matrix(vocab)
+            else:
+                uni = np.array([self.lm.logprob(w, []) for w in vocab])
+                bi = np.zeros((v + 1, v))
+                bi[v] = uni  # "no previous word" row
+                for p in range(v):
+                    for q in range(v):
+                        bi[p, q] = self.lm.logprob(vocab[q], [vocab[p]])
             self._lm_tab = self.lm_weight * bi
         else:
             self._lm_tab = np.zeros((v + 1, max(v, 1)))

@@ -46,13 +46,14 @@ def gmm_component_logpdf(
         (``-0.5Σ σ²``, reproducing ``util.py:29``)
     :param score_dtype: 'float32' (fp32 operand storage, default matmul
         precision) or 'bfloat16' — bf16 matmul operands with fp32 MXU
-        accumulation (1 pass instead of 3, half the parameter-side HBM
-        traffic).  The bf16 path centers frames and means by the bank's
-        per-dim mean (the Mahalanobis form is shift-invariant), which
-        keeps the ``x²``/``μ²`` operands small so bf16's 8-bit mantissa
-        costs <0.1 nat mean score drift instead of ~1.7 nats uncentered
-        (budget pinned in tests/test_bf16_scoring.py; TPU throughput in
-        benchmarks/bf16_study.py).
+        accumulation (halves the parameter-side HBM traffic; compute
+        rate is unchanged at D=39 since the contraction is not
+        MXU-bound — benchmarks/bf16_study.json).  The bf16 path centers
+        frames and means by the frame/bank-mean midpoint (the
+        Mahalanobis form is shift-invariant), which keeps the
+        ``x²``/``μ²`` operands small so bf16's 8-bit mantissa costs
+        <0.1 nat mean score drift instead of ~1.7 nats uncentered
+        (budget pinned in tests/test_bf16_scoring.py).
     :returns: ``[T, S, M]`` log N(x_t | μ_sm, σ²_sm)
     """
     s, m, d = means.shape
@@ -65,9 +66,13 @@ def gmm_component_logpdf(
         raise ValueError(f"unknown normalizer: {normalizer!r}")
     if score_dtype == "bfloat16":
         # shift-invariant centering: (x-μ)ᵀP(x-μ) is unchanged under
-        # x←x-c, μ←μ-c for any c; picking c = mean of the bank's means
-        # shrinks the quadratic operands so bf16 rounding stays benign
-        c = jnp.mean(means.reshape(s * m, d), axis=0)  # [D]
+        # x←x-c, μ←μ-c for any c; the midpoint of the frame mean and the
+        # bank mean bounds BOTH operands' magnitudes (bank mean alone
+        # fails on untrained banks whose means don't track the data's
+        # c0/energy offset), so bf16 rounding stays benign
+        c = 0.5 * (
+            jnp.mean(x, axis=0) + jnp.mean(means.reshape(s * m, d), axis=0)
+        )  # [D]
         x = x - c[None]
         means = means - c[None, None]
         op = jnp.bfloat16

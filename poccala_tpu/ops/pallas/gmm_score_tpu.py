@@ -34,11 +34,11 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _pack_params(means, log_var, log_w, normalizer: str,
-                 score_dtype: str = "float32"):
+                 score_dtype: str = "float32", center=None):
     """Per-mixture matmul weights ``[M, 2D, S]``, bias ``[M, S]`` and the
-    per-dim centering offset ``[D]`` (zero in fp32; the bank-mean shift
-    for bf16 — see ``ops/gmm_score.py`` on why centering makes bf16
-    operands safe)."""
+    per-dim centering offset ``[D]`` (zero in fp32; for bf16 the caller
+    passes the frame/bank-midpoint shift — see ``ops/gmm_score.py`` on
+    why centering makes bf16 operands safe)."""
     s, m, d = means.shape
     prec = jnp.exp(-log_var)                           # [S, M, D]
     if normalizer == "textbook":
@@ -48,7 +48,8 @@ def _pack_params(means, log_var, log_w, normalizer: str,
     else:
         raise ValueError(normalizer)
     if score_dtype == "bfloat16":
-        center = jnp.mean(means.reshape(s * m, d), axis=0)  # [D]
+        if center is None:
+            center = jnp.mean(means.reshape(s * m, d), axis=0)  # [D]
         means = means - center[None, None]
         op = jnp.bfloat16
     elif score_dtype == "float32":
@@ -121,8 +122,14 @@ def gmm_log_scores_pallas(
     t_pad = _ceil_to(t, t_tile)
     s_pad = _ceil_to(s, s_tile)
 
+    c_mid = None
+    if score_dtype == "bfloat16":
+        c_mid = 0.5 * (
+            jnp.mean(x, axis=0)
+            + jnp.mean(means.reshape(s * m, d), axis=0)
+        )
     weight, bias, center = _pack_params(means, log_var, log_w, normalizer,
-                                        score_dtype)
+                                        score_dtype, center=c_mid)
     if s_pad != s:
         weight = jnp.pad(weight, ((0, 0), (0, 0), (0, s_pad - s)))
         bias = jnp.pad(bias, ((0, 0), (0, s_pad - s)), constant_values=NEG_INF)

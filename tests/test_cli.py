@@ -92,6 +92,24 @@ class TestCliPipeline:
         assert result["wav"] == wav
         assert isinstance(result["nbest"], list)
 
+        # 7b. listen (streaming serve path) on the same wav: partial
+        # 1-bests per chunk + a final n-best whose top hypothesis
+        # matches the one-shot device decode
+        out = run(capsys, *common, "listen", "--checkpoint", ckpt_dir,
+                  "--lexicon", lex_path, "--lm", lm_path,
+                  "--wav", wav, "--chunk-frames", "16")
+        lines = [json.loads(l) for l in out.strip().splitlines()]
+        assert "final" in lines[-1]
+        partials = [l for l in lines[:-1] if "partial" in l]
+        assert partials and partials[-1]["frames"] > partials[0]["frames"]
+        out = run(capsys, *common, "decode", "--decoder", "device",
+                  "--checkpoint", ckpt_dir, "--lexicon", lex_path,
+                  "--lm", lm_path, wav)
+        one_shot = json.loads(out)
+        if one_shot["nbest"] and lines[-1]["final"]:
+            assert (lines[-1]["final"][0]["words"]
+                    == one_shot["nbest"][0]["words"])
+
         # 8. reference-layout export/import round trip
         ref_dir = os.path.join(workdir, "refparams")
         run(capsys, *common, "--set", "model.unit_type=TESTUNITS",
