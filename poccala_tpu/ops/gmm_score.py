@@ -66,13 +66,13 @@ def gmm_component_logpdf(
         raise ValueError(f"unknown normalizer: {normalizer!r}")
     if score_dtype == "bfloat16":
         # shift-invariant centering: (x-μ)ᵀP(x-μ) is unchanged under
-        # x←x-c, μ←μ-c for any c; the midpoint of the frame mean and the
-        # bank mean bounds BOTH operands' magnitudes (bank mean alone
-        # fails on untrained banks whose means don't track the data's
-        # c0/energy offset), so bf16 rounding stays benign
-        c = 0.5 * (
-            jnp.mean(x, axis=0) + jnp.mean(means.reshape(s * m, d), axis=0)
-        )  # [D]
+        # x←x-c, μ←μ-c for any c.  c = per-dim frame mean: every bf16
+        # rounding error in the expansion scales with |x-c| (the x²
+        # operand directly; the cross term as |x-c|·δ(μ'p)), so shrinking
+        # the *frame* residual bounds the error even when the bank means
+        # sit far from the data (untrained banks) — the μ'² term is
+        # folded in fp32 and costs nothing
+        c = jnp.mean(x, axis=0)  # [D]
         x = x - c[None]
         means = means - c[None, None]
         op = jnp.bfloat16

@@ -122,14 +122,9 @@ def gmm_log_scores_pallas(
     t_pad = _ceil_to(t, t_tile)
     s_pad = _ceil_to(s, s_tile)
 
-    c_mid = None
-    if score_dtype == "bfloat16":
-        c_mid = 0.5 * (
-            jnp.mean(x, axis=0)
-            + jnp.mean(means.reshape(s * m, d), axis=0)
-        )
+    c_frames = jnp.mean(x, axis=0) if score_dtype == "bfloat16" else None
     weight, bias, center = _pack_params(means, log_var, log_w, normalizer,
-                                        score_dtype, center=c_mid)
+                                        score_dtype, center=c_frames)
     if s_pad != s:
         weight = jnp.pad(weight, ((0, 0), (0, 0), (0, s_pad - s)))
         bias = jnp.pad(bias, ((0, 0), (0, s_pad - s)), constant_values=NEG_INF)

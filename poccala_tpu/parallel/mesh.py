@@ -102,6 +102,7 @@ def shard_bank_states(bank, mesh: Mesh):
         mix_counts=jax.device_put(bank.mix_counts, gmm_spec),
         log_A=jax.device_put(bank.log_A, rep),
         log_pi=jax.device_put(bank.log_pi, rep),
+        senone_map=jax.device_put(bank.senone_map, rep),
     )
 
 

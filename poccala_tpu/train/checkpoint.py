@@ -7,8 +7,13 @@ and per-state ``GMM_<k>/{GMM_means,GMM_covariance,GMM_weight}.npy`` +
 the ``trainInfo_<job>.csv`` resume ledger (``AcousticModel.py:311-329``)
 — with:
 
-* a single sharded checkpoint of the senone-bank pytree (orbax when
-  available, ``.npz`` fallback), and
+* a single checkpoint of the senone-bank pytree — ``.npz`` for
+  host-local single-process banks, **orbax** (sharded, optionally
+  async, multi-host-coordinated) whenever the bank is sharded over >1
+  device or ``jax.process_count() > 1``: every process writes only its
+  addressable shards, and :func:`load_checkpoint` can restore straight
+  onto a target sharding without materializing the full bank on any
+  host (BASELINE config 4/5 scale) — and
 * a JSON manifest carrying the training phase/round/mixture level, which
   subsumes the unit-granular trainInfo resume: bank updates are atomic
   per round, so resume restarts at the round boundary (SURVEY.md §5
@@ -36,34 +41,182 @@ from poccala_tpu.utils.logmath import masked_log
 
 _FIELDS = ("means", "log_var", "log_w", "log_A", "log_pi", "mix_counts",
            "senone_map")
+_DTYPES = {"mix_counts": np.int32, "senone_map": np.int32}
+
+
+def _is_multidevice(bank: SenoneBank) -> bool:
+    """True when any bank leaf is sharded across >1 device (or the run
+    is multi-host): the regime where a whole-bank ``.npz`` per process
+    would defeat the sharding."""
+    import jax
+
+    if jax.process_count() > 1:
+        return True
+    for f in _FIELDS:
+        a = getattr(bank, f)
+        if isinstance(a, jax.Array) and len(a.sharding.device_set) > 1:
+            return True
+    return False
+
+
+def _sync(name: str) -> None:
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
 
 
 def save_checkpoint(path: str, bank: SenoneBank, manifest: dict | None = None,
-                    units: list[str] | None = None) -> None:
-    """Write ``bank.npz`` + ``manifest.json`` under ``path``."""
-    os.makedirs(path, exist_ok=True)
-    arrays = {f: np.asarray(getattr(bank, f)) for f in _FIELDS}
-    np.savez(os.path.join(path, "bank.npz"), **arrays)
-    man = dict(manifest or {})
-    if units is not None:
-        man["units"] = units
-    man["shapes"] = {f: list(arrays[f].shape) for f in _FIELDS}
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(man, f, indent=2)
+                    units: list[str] | None = None,
+                    sharded: bool | None = None,
+                    async_save: bool = False) -> None:
+    """Write the bank + ``manifest.json`` under ``path``.
+
+    :param sharded: force the orbax sharded format; default (None)
+        auto-selects it when the bank spans >1 device or the run is
+        multi-host — each process then writes only its addressable
+        shards.  ``False``/single-device writes a plain ``bank.npz``.
+    :param async_save: with the orbax format, return as soon as the
+        on-device data is snapshotted and commit in a background thread
+        (training continues during the write).
+    """
+    import jax
+
+    if sharded is None:
+        sharded = _is_multidevice(bank)
+    proc0 = jax.process_index() == 0
+    if proc0:
+        os.makedirs(path, exist_ok=True)
+    _sync("poccala-ckpt-mkdir")
+
+    if sharded:
+        import orbax.checkpoint as ocp
+
+        bank_dir = os.path.join(os.path.abspath(path), "bank_orbax")
+        if proc0 and os.path.isdir(bank_dir):
+            import shutil
+
+            shutil.rmtree(bank_dir)
+        _sync("poccala-ckpt-clean")
+        arrays = {f: getattr(bank, f) for f in _FIELDS}
+        if jax.process_count() > 1:
+            arrays = _globalize(arrays)
+        if async_save:
+            ckptr = _async_checkpointer()
+            ckptr.save(bank_dir, args=ocp.args.StandardSave(arrays))
+        else:
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(bank_dir, arrays)
+        shapes = {f: list(getattr(bank, f).shape) for f in _FIELDS}
+    else:
+        arrays = {f: np.asarray(getattr(bank, f)) for f in _FIELDS}
+        np.savez(os.path.join(path, "bank.npz"), **arrays)
+        shapes = {f: list(arrays[f].shape) for f in _FIELDS}
+
+    if proc0:
+        man = dict(manifest or {})
+        if units is not None:
+            man["units"] = units
+        man["shapes"] = shapes
+        man["format"] = "orbax" if sharded else "npz"
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(man, f, indent=2)
+    _sync("poccala-ckpt-manifest")
 
 
-def load_checkpoint(path: str) -> tuple[SenoneBank, dict]:
-    """Load a checkpoint directory -> (bank, manifest)."""
-    npz_path = os.path.join(path, "bank.npz")
-    if not os.path.exists(npz_path):
-        raise ParameterFileError(f"no checkpoint at {path}")
-    data = np.load(npz_path)
-    bank = SenoneBank(**{f: jnp.asarray(data[f]) for f in _FIELDS})
+def _globalize(arrays: dict) -> dict:
+    """Multi-host: orbax can only serialize *global* arrays.  Leaves
+    that are still host-local (e.g. small tables never device_put onto
+    the mesh) are lifted to globally-replicated arrays on the mesh of
+    any already-global leaf."""
+    import jax
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = None
+    for a in arrays.values():
+        if isinstance(a, jax.Array) and isinstance(a.sharding, NamedSharding):
+            if not a.is_fully_addressable:
+                mesh = a.sharding.mesh
+                break
+    out = {}
+    for f, a in arrays.items():
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            out[f] = a
+        elif mesh is not None:
+            out[f] = multihost_utils.host_local_array_to_global_array(
+                np.asarray(a), mesh, PartitionSpec()
+            )
+        else:
+            out[f] = a
+    return out
+
+
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    """Process-wide async checkpointer (owns the background commit
+    thread; reusing it lets :func:`wait_for_save` find pending work)."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_save() -> None:
+    """Block until any in-flight :func:`save_checkpoint`
+    (``async_save=True``) has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
+def load_checkpoint(path: str, sharding=None) -> tuple[SenoneBank, dict]:
+    """Load a checkpoint directory -> (bank, manifest).
+
+    :param sharding: optional pytree-or-single ``jax.sharding.Sharding``
+        for the orbax format — leaves are restored **directly onto the
+        target sharding** (each process reads only the shards it will
+        hold; the full bank never materializes on one host).
+    """
     manifest = {}
     man_path = os.path.join(path, "manifest.json")
     if os.path.exists(man_path):
         with open(man_path) as f:
             manifest = json.load(f)
+
+    bank_dir = os.path.join(os.path.abspath(path), "bank_orbax")
+    npz_path = os.path.join(path, "bank.npz")
+    if os.path.isdir(bank_dir):
+        import jax
+        import orbax.checkpoint as ocp
+
+        wait_for_save()
+        with ocp.StandardCheckpointer() as ckptr:
+            if sharding is not None:
+                shapes = manifest["shapes"]
+                target = {
+                    f: jax.ShapeDtypeStruct(
+                        tuple(shapes[f]),
+                        _DTYPES.get(f, np.float32),
+                        sharding=(sharding[f] if isinstance(sharding, dict)
+                                  else sharding),
+                    )
+                    for f in _FIELDS
+                }
+                data = ckptr.restore(bank_dir, target)
+            else:
+                data = ckptr.restore(bank_dir)
+        bank = SenoneBank(**{f: jnp.asarray(data[f]) for f in _FIELDS})
+    elif os.path.exists(npz_path):
+        data = np.load(npz_path)
+        bank = SenoneBank(**{f: jnp.asarray(data[f]) for f in _FIELDS})
+    else:
+        raise ParameterFileError(f"no checkpoint at {path}")
     return bank, manifest
 
 

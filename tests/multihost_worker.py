@@ -1,6 +1,8 @@
-"""Worker process for the multi-host E-step test (run via subprocess).
+"""Worker process for the multi-host E-step / checkpoint tests (run via
+subprocess).
 
 Usage: python multihost_worker.py <process_id> <num_processes> <out_json>
+           [estep|ckpt] [shared_dir]
 """
 
 import json
@@ -27,14 +29,68 @@ def synth(rng, num_units, emit, dim, b, t, max_l):
     return labels, lens, xs, masks
 
 
+def ckpt_roundtrip(pid: int, nproc: int, shared_dir: str) -> dict:
+    """Multi-host sharded checkpoint round-trip: every process writes
+    only its addressable shards; restore lands straight on the target
+    sharding (each process reads only its rows)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from poccala_tpu.config import ModelConfig
+    from poccala_tpu.models import senone_bank as sb
+    from poccala_tpu.parallel import mesh as pmesh
+    from poccala_tpu.train import checkpoint as ckpt
+
+    cfg = ModelConfig(state_num=5, mix_level=2, max_mix_level=2)
+    bank = sb.create_bank(8, cfg, 6, key=jax.random.PRNGKey(2))
+    state_axis = 2
+    mesh = pmesh.make_mesh(
+        data_axis=jax.device_count() // state_axis, state_axis=state_axis
+    )
+    bank, _ = pmesh.pad_bank_states(bank, state_axis)
+    bank = pmesh.shard_bank_states(bank, mesh)
+
+    path = os.path.join(shared_dir, "mh_ckpt")
+    ckpt.save_checkpoint(path, bank, {"round": 7})
+    shardings = {
+        f: NamedSharding(mesh, P("state"))
+        for f in ("means", "log_var", "log_w", "mix_counts")
+    }
+    shardings.update({
+        f: NamedSharding(mesh, P())
+        for f in ("log_A", "log_pi", "senone_map")
+    })
+    bank2, man = ckpt.load_checkpoint(path, sharding=shardings)
+    local_rows = bank2.means.addressable_shards[0].data.shape[0]
+    # global arrays are not fully addressable per process: checksums go
+    # through jit (computation follows the sharding; the scalar result
+    # replicates to every host)
+    checksum = jax.jit(lambda a: jnp.abs(a).sum())
+    return {
+        "format": man["format"],
+        "round": man["round"],
+        "global_devices": jax.device_count(),
+        "means_checksum": float(checksum(bank.means)),
+        "restored_checksum": float(checksum(bank2.means)),
+        "shard_rows": int(local_rows),
+        "total_rows": int(bank2.means.shape[0]),
+        "state_axis": state_axis,
+    }
+
+
 def main():
     pid, nproc, out_path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "estep"
     if nproc > 1:
         jax.distributed.initialize(
             "localhost:12757", num_processes=nproc, process_id=pid
         )
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if mode == "ckpt":
+        result = ckpt_roundtrip(pid, nproc, sys.argv[5])
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+        return
     from poccala_tpu.config import ModelConfig
     from poccala_tpu.models import senone_bank as sb
     from poccala_tpu.parallel import mesh as pmesh

@@ -18,14 +18,15 @@ import pytest
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 
-def run_workers(nproc: int, tmp_path) -> list[dict]:
+def run_workers(nproc: int, tmp_path, mode: str = "estep") -> list[dict]:
     procs, outs = [], []
     env = {k: v for k, v in os.environ.items()}
     for pid in range(nproc):
-        out = str(tmp_path / f"result_{nproc}_{pid}.json")
+        out = str(tmp_path / f"result_{mode}_{nproc}_{pid}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(pid), str(nproc), out],
+            [sys.executable, WORKER, str(pid), str(nproc), out, mode,
+             str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
         ))
     for p in procs:
@@ -43,3 +44,16 @@ class TestMultiHost:
         for key in ("loglik", "occ_sum", "trans_sum", "cx_checksum", "n_utts"):
             assert np.isclose(double[0][key], single[key], rtol=1e-4), key
             assert np.isclose(double[1][key], single[key], rtol=1e-4), key
+
+    def test_two_process_sharded_checkpoint_roundtrip(self, tmp_path):
+        """Both processes write only their shards of a state-sharded
+        bank into one orbax checkpoint, then restore it straight onto
+        the sharding — the multi-host checkpoint story of VERDICT
+        round-1 item 7."""
+        results = run_workers(2, tmp_path, mode="ckpt")
+        for r in results:
+            assert r["format"] == "orbax" and r["round"] == 7
+            assert r["global_devices"] == 8
+            assert np.isclose(r["restored_checksum"], r["means_checksum"],
+                              rtol=1e-6)
+            assert r["shard_rows"] * r["state_axis"] == r["total_rows"]
