@@ -99,13 +99,34 @@ def main():
         flops = 2 * x.shape[0] * 2 * d * s_total * mix
         tf32, tf16 = flops / dt32 / 1e12, flops / dt16 / 1e12
 
-        # ---- accuracy drift on-chip (same kernels the bench uses)
-        f32 = np.asarray(gmm_log_scores_fast(
-            x[:4096], bank.means, bank.log_var, bank.log_w))
-        b16 = np.asarray(gmm_log_scores_fast(
-            x[:4096], bank.means, bank.log_var, bank.log_w,
-            score_dtype="bfloat16"))
-        drift = np.abs(b16 - f32)
+        # ---- accuracy drift on-chip (same kernels the bench uses),
+        # in two regimes:
+        # (a) trained-like bank: means drawn from the data (what k-means
+        #     init / EM produce — the deployment regime, where the
+        #     centered residuals are small);
+        # (b) random-init bank scoring real features — the worst case
+        #     (bank means sit ~|x̄| away from the data, so the bf16
+        #     rounding of the cross-term operand μ'p is amplified).
+        def drift_of(b):
+            f32 = np.asarray(gmm_log_scores_fast(
+                x[:4096], b.means, b.log_var, b.log_w))
+            b16 = np.asarray(gmm_log_scores_fast(
+                x[:4096], b.means, b.log_var, b.log_w,
+                score_dtype="bfloat16"))
+            return np.abs(b16 - f32)
+
+        xs_np = np.asarray(x)
+        sampled = xs_np[rng.integers(0, len(xs_np),
+                                     size=(s_total, mix))]  # [S, M, D]
+        trained_bank = dataclasses.replace(
+            bank,
+            means=jnp.asarray(sampled + rng.normal(size=sampled.shape)
+                              .astype(np.float32) * 0.5),
+            log_var=jnp.log(jnp.asarray(
+                np.var(xs_np, axis=0) + 0 * sampled + 0.1)),
+        )
+        drift = drift_of(trained_bank)
+        drift_worst = drift_of(bank)
 
         # ---- Viterbi flip rate on a separable trained bank
         emb = rng.normal(size=(units, d)).astype(np.float32) * 4
@@ -165,6 +186,7 @@ def main():
             "score_speedup": round(dt32 / dt16, 2),
             "drift_mean_nats": round(float(drift.mean()), 4),
             "drift_max_nats": round(float(drift.max()), 4),
+            "drift_untrained_mean_nats": round(float(drift_worst.mean()), 4),
             "viterbi_flip_rate": flips,
             "pipeline_audio_sps_f32": round(pipe32, 1),
             "pipeline_audio_sps_bf16": round(pipe16, 1),

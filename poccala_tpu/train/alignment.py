@@ -97,16 +97,14 @@ def uniform_label_pos(label_lens: np.ndarray, t_masks: np.ndarray) -> np.ndarray
     units and T frames maps to label position ``min(t // (T // L), L-1)``
     — the reference gives ``T // L`` frames to each unit and drops the
     remainder; we assign the remainder to the last unit instead of
-    discarding frames."""
+    discarding frames.  Fully vectorized over the batch."""
     b, t_pad = t_masks.shape
-    label_pos = np.full((b, t_pad), -1, np.int32)
-    for i in range(b):
-        t_true = int(t_masks[i].sum())
-        l = max(int(label_lens[i]), 1)
-        chunk = max(t_true // l, 1)
-        pos = np.minimum(np.arange(t_true) // chunk, l - 1)
-        label_pos[i, :t_true] = pos
-    return label_pos
+    t_true = t_masks.sum(axis=1).astype(np.int64)             # [B]
+    l = np.maximum(np.asarray(label_lens, np.int64), 1)       # [B]
+    chunk = np.maximum(t_true // l, 1)                        # [B]
+    t = np.arange(t_pad, dtype=np.int64)[None, :]             # [1, T]
+    pos = np.minimum(t // chunk[:, None], (l - 1)[:, None])
+    return np.where(t < t_true[:, None], pos, -1).astype(np.int32)
 
 
 def check_alignment(label_pos: np.ndarray, labels: np.ndarray,
@@ -147,50 +145,65 @@ def group_frames_by_senone(
     uniformly (a capacity cap the Python reference does not need; flagged
     per the no-silent-caps rule by the returned ``n_dropped``).
 
+    Fully vectorized (run-length encoding over the whole batch + one
+    stable sort by senone id): the host cost is O(N log N) numpy on the
+    total valid-frame count N, not Python loops per utterance/run —
+    the reference's per-utterance ``__eq_segment`` loops
+    (``AcousticModel.py:587-644``) were the scheme-1 wall-clock at
+    corpus scale (VERDICT round-1 item 9).
+
     :returns: (frames ``[S, F, D]`` float32, mask ``[S, F]`` bool,
         n_dropped int)
     """
     b, t_pad, d = xs.shape
-    buckets: list[list[np.ndarray]] = [[] for _ in range(num_senones)]
-    for i in range(b):
-        if utt_ok is not None and not utt_ok[i]:
-            continue
-        lp = label_pos[i]
-        valid = np.where(lp >= 0)[0]
-        if valid.size == 0:
-            continue
-        # contiguous runs of equal label position = unit occurrences
-        splits = np.where(np.diff(lp[valid]) != 0)[0] + 1
-        for run in np.split(valid, splits):
-            pos = lp[run[0]]
-            unit = labels[i][pos]
-            frames = xs[i][run]
-            n = len(frames)
-            chunk = n // emit_states
-            start = 0
-            for e in range(emit_states):
-                end = start + chunk if e < emit_states - 1 else n
-                if end > start:
-                    if senone_map is not None:
-                        sid = int(senone_map[unit, e])
-                    else:
-                        sid = unit * emit_states + e
-                    buckets[sid].append(frames[start:end])
-                start += chunk
-
-    out = np.zeros((num_senones, max_frames_per_senone, d), np.float32)
-    mask = np.zeros((num_senones, max_frames_per_senone), bool)
-    n_dropped = 0
+    cap = max_frames_per_senone
     if rng is None:
         rng = np.random.default_rng(0)
-    for s in range(num_senones):
-        if not buckets[s]:
-            continue
-        frames = np.concatenate(buckets[s], axis=0)
-        if len(frames) > max_frames_per_senone:
-            n_dropped += len(frames) - max_frames_per_senone
-            sel = rng.choice(len(frames), max_frames_per_senone, replace=False)
-            frames = frames[sel]
-        out[s, : len(frames)] = frames
-        mask[s, : len(frames)] = True
+    out = np.zeros((num_senones, cap, d), np.float32)
+    mask = np.zeros((num_senones, cap), bool)
+
+    lp = np.asarray(label_pos)
+    ok = np.ones(b, bool) if utt_ok is None else np.asarray(utt_ok, bool)
+    ui, ti = np.nonzero((lp >= 0) & ok[:, None])  # valid frames, time order
+    if ui.size == 0:
+        return out, mask, 0
+    pos = lp[ui, ti]
+
+    # contiguous runs of equal label position within one utterance = unit
+    # occurrences (gaps of masked frames do NOT split a run, matching the
+    # reference's split on diff(lp[valid]))
+    new_run = np.ones(len(ui), bool)
+    new_run[1:] = (ui[1:] != ui[:-1]) | (pos[1:] != pos[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id)
+    run_start = np.concatenate([[0], np.cumsum(run_len)[:-1]])
+    pos_in_run = np.arange(len(ui)) - run_start[run_id]
+
+    # per-run equal split over emitting states; runs shorter than the
+    # state count give every frame to the last state (__get_gmmdata)
+    chunk = (run_len // emit_states)[run_id]
+    e = np.where(
+        chunk == 0,
+        emit_states - 1,
+        np.minimum(pos_in_run // np.maximum(chunk, 1), emit_states - 1),
+    )
+    unit = np.asarray(labels)[ui, pos]
+    if senone_map is not None:
+        sid = np.asarray(senone_map)[unit, e]
+    else:
+        sid = unit * emit_states + e
+
+    # bucket fill: random permutation + stable sort by senone id groups
+    # frames per senone with a uniform-random order inside each group,
+    # so truncating at the cap IS the uniform subsample
+    perm = rng.permutation(len(sid))
+    sel = perm[np.argsort(sid[perm], kind="stable")]
+    sid_s = sid[sel]
+    counts = np.bincount(sid_s, minlength=num_senones)[:num_senones]
+    seg_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_seg = np.arange(len(sel)) - seg_start[sid_s]
+    keep = pos_in_seg < cap
+    out[sid_s[keep], pos_in_seg[keep]] = xs[ui[sel[keep]], ti[sel[keep]]]
+    mask[sid_s[keep], pos_in_seg[keep]] = True
+    n_dropped = int(np.maximum(counts - cap, 0).sum())
     return out, mask, n_dropped
