@@ -11,11 +11,16 @@ dispatch latency (large through this environment's tunnel) is not
 measured; synchronization is forced by fetching a scalar that depends on
 every iteration's outputs.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "audio-s/s", "vs_baseline": N}
+Prints the headline JSON line first:
+    {"metric": "train_em_plus_viterbi_audio_throughput", ...}
+then a second JSON line for the serving path — device-tier beam decode
+(frontend + GMM scoring + on-device token-passing scan + host
+backtrace) over a real-scale lexicon built from the built-in
+hanzi→pinyin table (hundreds of words, >200 tree nodes), batch ≥ 64:
+    {"metric": "decode_audio_throughput", ...}
 vs_baseline is value / 100 — the reference publishes no numbers
 (BASELINE.md), so the yardstick is its north-star target of 100x
-real-time per chip.
+real-time per chip for both training and decode.
 """
 
 import json
@@ -121,7 +126,79 @@ def main():
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / 100.0, 3),
-    }))
+    }), flush=True)
+
+    try:
+        bench_decode(cfg, fe, rng)
+    except Exception as e:  # decode metric must never cost the headline
+        log(f"decode bench failed: {type(e).__name__}: {e}")
+
+
+def bench_decode(cfg, fe, rng, batch=128, utt_seconds=4.0, calls=3):
+    """Device-tier beam decode throughput (BASELINE north star: decode
+    at >=100x real-time).  End-to-end per call: MFCC frontend -> GMM
+    frame scoring -> on-device token-passing scan over a real-scale
+    lexicon -> traceback-lattice fetch -> host backtrace.  Host-side
+    work and device dispatch are inside the timed region — this is the
+    serving number, not a kernel number."""
+    import jax
+    import jax.numpy as jnp
+
+    from poccala_tpu.decoder.device import DeviceBeamDecoder
+    from poccala_tpu.io.corpus import UnitInventory
+    from poccala_tpu.lexicon import FlatLexicon, PinYin, PronunciationLexicon
+    from poccala_tpu.lexicon.builtin_table import BUILTIN_PINYIN
+    from poccala_tpu.models import senone_bank as sb
+
+    inv = UnitInventory.standard("XIF_tone")
+    words = list(BUILTIN_PINYIN.keys()) + [
+        "你好", "中国", "北京", "学生", "电话", "飞机", "语音", "识别",
+        "文字", "上海", "东西", "南北", "大小", "前后", "左右", "开关",
+    ]
+    lex = PronunciationLexicon()
+    lex.generate(words, PinYin())
+    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    bank = sb.create_bank(len(inv), cfg.model, cfg.frontend.feat_dim,
+                          key=jax.random.PRNGKey(1))
+    dec = DeviceBeamDecoder(bank, flat, candidate=8, max_tokens=64)
+    log(f"decode: lexicon {flat.n_nodes} nodes / {len(words)} words, "
+        f"bank {bank.num_states} senones")
+
+    rate = cfg.frontend.sample_rate
+    n_samples = int(utt_seconds * rate)
+    signals = jnp.asarray(
+        (rng.normal(size=(batch, n_samples)) * 2000).astype(np.float32))
+    n_samp = jnp.asarray(np.full((batch,), n_samples, np.int64))
+
+    def features():
+        feats, masks = jax.jit(jax.vmap(fe._mfcc_impl))(signals, n_samp)
+        return np.asarray(feats), np.asarray(masks.sum(axis=1), np.int32)
+
+    # warmup: frontend + scoring + scan compile
+    t0 = time.time()
+    feats, n_frames = features()
+    hyps = dec.decode_batch(feats, n_frames)
+    log(f"decode compile+run: {time.time()-t0:.1f}s "
+        f"({sum(len(h) for h in hyps)} hypotheses)")
+
+    t0 = time.time()
+    for _ in range(calls):
+        feats, n_frames = features()
+        hyps = dec.decode_batch(feats, n_frames)
+    elapsed = time.time() - t0
+    assert all(len(h) >= 1 for h in hyps), "empty decode on some utterance"
+
+    audio_seconds = batch * utt_seconds * calls
+    value = audio_seconds / elapsed
+    log(f"decode: {audio_seconds:.0f} audio-s in {elapsed:.2f}s")
+    print(json.dumps({
+        "metric": "decode_audio_throughput",
+        "value": round(value, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / 100.0, 3),
+        "batch": batch,
+        "lexicon_nodes": int(flat.n_nodes),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -75,7 +75,25 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         self._prep_tables()
         self._j_bands = jnp.asarray(self._bands)          # [n_nodes, Ns, W]
         self._j_senone = jnp.asarray(self._senone)        # [n_nodes, Ns]
-        self._j_child = jnp.asarray(self._child_tab)      # [n_nodes, C]
+        # Expansion child table WITHOUT the root row's children: tokens
+        # never sit on the root (seeding and word re-entry go straight
+        # to the first-level nodes via root restarts), so padding every
+        # row to the root's fan-out — the widest in any real lexicon by
+        # far — would blow the per-frame candidate pool (and the dedup
+        # sort) up by orders of magnitude.  Width = max over non-root
+        # rows only; row 0 stays all -1 (it is only ever gathered by
+        # dead tokens clipped from -1).
+        ct = np.asarray(self._child_tab)
+        if ct.shape[0] > 1:
+            widths = (ct >= 0).sum(axis=1)
+            c_exp = max(1, int(widths[1:].max(initial=0)))
+            exp = np.full((ct.shape[0], c_exp), -1, np.int32)
+            for i in range(1, ct.shape[0]):
+                row = ct[i][ct[i] >= 0][:c_exp]
+                exp[i, : len(row)] = row
+        else:
+            exp = np.full((1, 1), -1, np.int32)
+        self._j_child = jnp.asarray(exp)                  # [n_nodes, C']
         self._j_word = jnp.asarray(self._word_tab)        # [n_nodes, Wt]
         self._j_roots = jnp.asarray(self._roots, jnp.int32)  # [R]
         self._j_lm = jnp.asarray(self._lm_tab, jnp.float32)  # [V+1, V]
