@@ -170,8 +170,11 @@ def bench_decode(cfg, fe, rng, batch=128, utt_seconds=4.0, calls=3):
         (rng.normal(size=(batch, n_samples)) * 2000).astype(np.float32))
     n_samp = jnp.asarray(np.full((batch,), n_samples, np.int64))
 
+    mfcc = jax.jit(jax.vmap(fe._mfcc_impl))  # hoisted: re-wrapping per
+    # call would retrace + re-lookup the executable every iteration
+
     def features():
-        feats, masks = jax.jit(jax.vmap(fe._mfcc_impl))(signals, n_samp)
+        feats, masks = mfcc(signals, n_samp)
         return np.asarray(feats), np.asarray(masks.sum(axis=1), np.int32)
 
     # warmup: frontend + scoring + scan compile
