@@ -1,37 +1,52 @@
-"""Fully on-device beam decoder: a `lax.scan` token machine.
+"""Fully on-device decoder: dense graph Viterbi over the lexicon tree.
 
-The third tier of the decoder stack (dict reference → vectorized host →
-device): token passing over the lexicon tree runs entirely inside one
-jitted scan over frames, batched over utterances with `vmap` — the
-fixed-capacity-token-array + top-k design of SURVEY.md §7 hard part (g).
+Third tier of the decoder stack (dict reference → vectorized host →
+device).  Earlier rounds ran a token machine (fixed-capacity token
+arrays + per-frame sort/dedup/top-k) mirroring the host tiers; profiling
+showed the per-frame pool machinery (concats, gathers, a [P]-wide sort)
+dominated decode time while the arrays involved were tiny — exactly the
+shape of work TPUs are worst at.  This version replaces tokens with the
+TPU-idiomatic dense form: **every lexicon node is always live**, and the
+per-frame update is a handful of fused elementwise/gather ops over
+``[n_nodes, Ns]`` arrays — no sort, no top-k, no dynamic pool, and no
+beam approximation at all (the search is exact Viterbi over the
+lexicon-tree HMM; ``beam``/``max_tokens``/``candidate``/``emit_top`` are
+accepted for API compatibility but the device tier no longer prunes).
 
-Per frame, per utterance:
+Per frame, batched over utterances with ``vmap``:
 
-1. all K tokens advance one banded max-plus step (per-node bands and
-   senones gathered against the precomputed ``[T, S]`` score matrix);
-2. exit scores flow to child nodes (``K·C`` candidates);
-3. the frame's top-``E`` word emissions each re-enter the tree root
-   (``E·R`` candidates) carrying their bigram LM scores (the host
-   decoders expand *every* emission; E best-of-frame is the device
-   approximation — E ≥ 2 keeps confusable word boundaries alive where a
-   single-best emission silently prunes them);
-4. candidates dedup on (node, history): sort by key with score as the
-   tie-break (``lexsort``), mask segment-interior rows — O(P log P), no
-   pairwise O(P²) table — then ``top_k`` with the beam fraction prunes
-   back to K;
-5. the frame's emissions write ``(prev_ptr, word)`` into a
-   statically-indexed traceback lattice row ``[T, E]`` — pointer
-   ``= t·E + e``, no dynamic allocation.
+1. **in-node advance**: one banded max-plus step over all nodes at once
+   against the precomputed ``[T, S]`` senone score matrix, with the
+   winning source state tracked so per-state word history and LM context
+   propagate along the Viterbi path (``Token.viterbi``'s inner loop,
+   ``Decoder.py:250-288``, dense over the whole tree);
+2. **exit flow**: each node's exit score moves to its (unique, it's a
+   tree) children's entry states — one gather via the parent array
+   (``passing_in_word``, ``Decoder.py:114-143``);
+3. **word boundary**: the frame's best word emission applies its bigram
+   LM score and re-enters every first-level node; the emission writes
+   one ``(prev_ptr, word)`` traceback-lattice row per frame (the
+   ``passing_between_word`` the reference left unimplemented,
+   ``Decoder.py:146-156``).  Lesser same-frame emissions are not lost:
+   their word-end nodes stay live and re-enter on a later frame if they
+   dominate then — with no LM this single-best re-entry is exact for the
+   1-best path; with an N-gram LM it is the standard word-level Viterbi
+   approximation (one ``(history, LM state)`` per node state; the LM is
+   applied to the top-16 acoustic emissions of each frame, which is
+   likewise exact in the no-LM case since adding zero preserves the
+   argmax).
 
-The winning hypothesis is reconstructed on the host from the fetched
-traceback lattice.
+The final n-best (word ids + scores) is also extracted **on device**
+(exit scores → per-(node, word) emission matrix → top-k → pointer-chase
+backtrace as a short ``lax.scan``), so the host only maps ids to vocab
+strings — no per-token Python on any path.
 
 Distributed decode (BASELINE config 5): ``decode_batch(..., mesh=...)``
-runs the same scan under ``shard_map`` with utterances sharded over the
-``data`` mesh axis and tables/bank replicated — decode is
-embarrassingly parallel per utterance, so the shard program contains no
-collectives at all (the reference's intended serving path,
-``Decoder.py:91-167``, scaled out).
+runs scoring + scan + finalize under ``shard_map`` with utterances
+sharded over the ``data`` mesh axis and tables/bank replicated; decode
+is embarrassingly parallel per utterance, so the shard program contains
+no collectives (the reference's intended serving path, ``Decoder.py:
+91-167``, scaled out).
 """
 
 from __future__ import annotations
@@ -59,127 +74,392 @@ class _StreamState:
 
 
 class DeviceBeamDecoder(VectorBeamDecoder):
-    """Scan-based on-device decoder.  Constructor matches
-    :class:`poccala_tpu.decoder.beam.BeamDecoder`; ``emit_top`` sets how
-    many word emissions per frame re-enter the tree root."""
+    """Dense on-device graph-Viterbi decoder.  Constructor matches
+    :class:`poccala_tpu.decoder.beam.BeamDecoder`; ``max_words`` bounds
+    the backtrace length of a single hypothesis."""
 
-    def __init__(self, *args, emit_top: int = 4, **kwargs):
+    def __init__(self, *args, emit_top: int = 4, max_words: int = 64,
+                 **kwargs):
         super().__init__(*args, **kwargs)
-        self.emit_top = max(1, int(emit_top))
+        self.emit_top = max(1, int(emit_top))  # accepted; no longer used
+        self.max_words = max(2, int(max_words))
 
+    # ------------------------------------------------------------------
     def _prep_device(self):
         if hasattr(self, "_dev_ready"):
             return
         import jax.numpy as jnp
 
         self._prep_tables()
-        self._j_bands = jnp.asarray(self._bands)          # [n_nodes, Ns, W]
-        self._j_senone = jnp.asarray(self._senone)        # [n_nodes, Ns]
-        # Expansion child table WITHOUT the root row's children: tokens
-        # never sit on the root (seeding and word re-entry go straight
-        # to the first-level nodes via root restarts), so padding every
-        # row to the root's fan-out — the widest in any real lexicon by
-        # far — would blow the per-frame candidate pool (and the dedup
-        # sort) up by orders of magnitude.  Width = max over non-root
-        # rows only; row 0 stays all -1 (it is only ever gathered by
-        # dead tokens clipped from -1).
-        ct = np.asarray(self._child_tab)
-        if ct.shape[0] > 1:
-            widths = (ct >= 0).sum(axis=1)
-            c_exp = max(1, int(widths[1:].max(initial=0)))
-            exp = np.full((ct.shape[0], c_exp), -1, np.int32)
-            for i in range(1, ct.shape[0]):
-                row = ct[i][ct[i] >= 0][:c_exp]
-                exp[i, : len(row)] = row
-        else:
-            exp = np.full((1, 1), -1, np.int32)
-        self._j_child = jnp.asarray(exp)                  # [n_nodes, C']
-        self._j_word = jnp.asarray(self._word_tab)        # [n_nodes, Wt]
-        self._j_roots = jnp.asarray(self._roots, jnp.int32)  # [R]
+        self._j_bands = jnp.asarray(self._bands)          # [N, Ns, W]
+        self._j_senone = jnp.asarray(self._senone)        # [N, Ns]
+        self._j_word = jnp.asarray(self._word_tab)        # [N, Wt]
         self._j_lm = jnp.asarray(self._lm_tab, jnp.float32)  # [V+1, V]
+        self._j_lm_flat = self._j_lm.reshape(-1)
+        # word-emission slots: the static (node, word) pairs — TPU
+        # gathers with static indices are fast, dynamic point gathers
+        # scalarize, so emissions are computed per-slot
+        node_slot, word_slot = np.nonzero(self._word_tab >= 0)
+        if len(node_slot) == 0:
+            node_slot, word_slot = np.zeros(1, np.int64), np.zeros(1, np.int64)
+        self._j_node_slot = jnp.asarray(node_slot.astype(np.int32))  # [Q]
+        self._j_word_slot = jnp.asarray(
+            self._word_tab[node_slot, word_slot].astype(np.int32))   # [Q]
+        self._j_slot_valid = jnp.asarray(
+            self._word_tab[node_slot, word_slot] >= 0)               # [Q]
+        # tree parent of each node; -1 for the virtual root and for
+        # first-level nodes (their entry comes from word re-entry only)
+        lex = self.lexicon
+        n_nodes = lex.n_nodes
+        par = np.full((n_nodes,), -1, np.int32)
+        for p in range(1, n_nodes):
+            for c in lex.children(p):
+                par[c] = p
+        self._j_parent = jnp.asarray(par)
+        is_rc = np.zeros((n_nodes,), bool)
+        is_rc[np.asarray(self._roots, np.int64)] = True
+        self._j_is_root_child = jnp.asarray(is_rc)
         self._dev_ready = True
 
     # ------------------------------------------------------------------
     def decode_batch(self, feats, n_frames, return_nbest: int = 1,
                      mesh=None):
-        """Decode ``[B, T, D]``; the device path returns 1-best-focused
-        n-best lists per utterance.
+        """Decode ``[B, T, D]`` features; returns per-utterance n-best
+        :class:`Hypothesis` lists.
 
+        :param feats: host or device array — scoring, the Viterbi scan
+            and n-best extraction all run inside one jitted program.
         :param mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis
-            — the scan then runs under ``shard_map`` with utterances
+            — the program then runs under ``shard_map`` with utterances
             sharded across devices (distributed decode).
         """
         import jax.numpy as jnp
 
         self._prep_device()
-        feats = np.asarray(feats, np.float32)
+        if len(self._roots) == 0:
+            return [[] for _ in range(int(np.shape(feats)[0]))]
         n_frames = np.asarray(n_frames)
-        b_orig = feats.shape[0]
+        b_orig = int(np.shape(feats)[0])
         if mesh is not None:
             n_data = mesh.shape["data"]
             pad = (-b_orig) % n_data
             if pad:
-                feats = np.pad(feats, ((0, pad), (0, 0), (0, 0)))
+                feats = np.pad(np.asarray(feats, np.float32),
+                               ((0, pad), (0, 0), (0, 0)))
                 n_frames = np.pad(n_frames, (0, pad))
-        b, t_pad, _ = feats.shape
-        scores = self._frame_scores_device(feats)          # [B, T, S]
-
+        t_pad = int(np.shape(feats)[1])
+        n_cand = self._n_cand(return_nbest)
         if mesh is None:
-            run = self._scan_fn(t_pad)
+            run = self._run_fn(t_pad, n_cand)
         else:
-            import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            run = self._sharded_run_fn(t_pad, n_cand, mesh)
+        seqs, scores = run(jnp.asarray(feats, jnp.float32),
+                           jnp.asarray(n_frames.astype(np.int32)))
+        return self._to_hypotheses(np.asarray(seqs), np.asarray(scores),
+                                   b_orig, return_nbest)
 
-            run = self._sharded_scan_fn(t_pad, mesh)
-            scores = jax.device_put(scores, NamedSharding(mesh, P("data")))
-        (nodes, deltas, hist, last_word), (tb_prev, tb_word) = run(
-            scores, jnp.asarray(n_frames.astype(np.int32))
-        )
-        nodes = np.asarray(nodes)
-        deltas = np.asarray(deltas)
-        hist = np.asarray(hist)
-        last_word = np.asarray(last_word)
-        e_top = self.emit_top
-        tb_prev = np.asarray(tb_prev).reshape(b, t_pad * e_top)  # [B, T*E]
-        tb_word = np.asarray(tb_word).reshape(b, t_pad * e_top)
+    @staticmethod
+    def _n_cand(return_nbest: int) -> int:
+        """Static candidate count for the device n-best extraction
+        (rounded up to limit jit cache entries)."""
+        return max(8, int(2 ** int(np.ceil(np.log2(max(2, 2 * return_nbest))))))
 
+    def _to_hypotheses(self, seqs, scores, b_orig, return_nbest):
+        """ids -> vocab strings; dedup identical word sequences keeping
+        the best score (two (end-node, word) pairs can backtrace to the
+        same words)."""
         out: list[list[Hypothesis]] = []
-        k_cap = self.max_tokens
+        vocab = self._vocab
         for u in range(b_orig):
-            exits = self._exit_scores(deltas[u], np.clip(nodes[u], 0, None))
             best: dict[tuple, float] = {}
-            for k in range(k_cap):
-                if nodes[u, k] < 0 or exits[k] <= NEG_INF / 2:
+            for c in range(seqs.shape[1]):
+                if scores[u, c] <= NEG_INF / 2:
                     continue
-                for w_id in self._word_tab[nodes[u, k]]:
-                    if w_id < 0:
-                        continue
-                    lm = float(self._lm_tab[last_word[u, k], w_id])
-                    seq = self._backtrace(tb_prev[u], tb_word[u], hist[u, k])
-                    seq = seq + (self._vocab[w_id],)
-                    score = float(exits[k]) + lm
-                    if seq not in best or score > best[seq]:
-                        best[seq] = score
+                ids = seqs[u, c]
+                words = tuple(vocab[i] for i in ids if i >= 0)
+                if not words:
+                    continue
+                s = float(scores[u, c])
+                if words not in best or s > best[words]:
+                    best[words] = s
             hyps = [Hypothesis(score=s, words=w) for w, s in best.items()]
             hyps.sort(reverse=True)
             out.append(hyps[:return_nbest])
         return out
 
-    def _backtrace(self, tb_prev, tb_word, ptr: int) -> tuple:
-        words = []
-        while ptr >= 0:
-            words.append(self._vocab[tb_word[ptr]])
-            ptr = tb_prev[ptr]
-        return tuple(reversed(words))
+    # ------------------------------------------------------------------
+    # program builders
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        """Per-frame dense update, shared by the one-shot and chunked
+        scans.  carry = (deltas [N, Ns], ctx [N, Ns]) where ``ctx``
+        packs (traceback ptr + 1, last word) as ``(h+1)*(V+1) + l`` —
+        one int32 propagated along the Viterbi path instead of two.
+
+        TPU formulation notes (measured on-chip): dynamic point gathers
+        and minor-axis ``take_along_axis`` scalarize (≈ms per frame even
+        at [125, 8]); static-index gathers, shifted ``where`` selects
+        and scalar picks after an ``argmax``/``top_k`` are fast.  Hence
+        (a) ctx propagates via the same shifted-compare loop as the
+        scores, (b) emissions are evaluated on the static (node, word)
+        slot arrays, and (c) the bigram LM is applied to the top-``R``
+        acoustic emissions only, via a handful of scalar picks — exact
+        when there is no LM (adding zero preserves the argmax), the
+        standard top-R approximation otherwise."""
+        import jax
+        import jax.numpy as jnp
+
+        bands, senone = self._j_bands, self._j_senone
+        lm_flat = self._j_lm_flat
+        node_slot, word_slot = self._j_node_slot, self._j_word_slot
+        slot_valid = self._j_slot_valid
+        parent, is_rc = self._j_parent, self._j_is_root_child
+        n_nodes, n_s, w_band = bands.shape
+        v = self._j_lm.shape[1]
+        vp1 = v + 1
+        q = node_slot.shape[0]
+        r_top = int(min(q, 16))
+        ctx_dead = jnp.int32(v)  # pack(h=-1, l=v)
+
+        def exit_of(deltas, ctx):
+            """Max-plus flow into the virtual exit state, with the
+            winning source state's packed context (static column
+            slices + compare selects; no gathers)."""
+            ex = jnp.full((n_nodes,), NEG_INF)
+            ex_ctx = jnp.full((n_nodes,), ctx_dead)
+            for k in range(1, w_band):
+                rr = n_s - 1 - k
+                if rr < 0:
+                    continue
+                cand = deltas[:, rr] + bands[:, rr, k]
+                win = cand > ex
+                ex = jnp.where(win, cand, ex)
+                ex_ctx = jnp.where(win, ctx[:, rr], ex_ctx)
+            return ex, ex_ctx
+
+        def emissions(ex, ex_ctx):
+            """Best word emission of the frame (two-phase top-R)."""
+            ex_q = ex[node_slot]                          # static gather
+            ctx_q = ex_ctx[node_slot]
+            ac = jnp.where(slot_valid & (ex_q > NEG_INF / 2), ex_q, NEG_INF)
+            r_sc, r_ix = jax.lax.top_k(ac, r_top)         # [R]
+            w_r = word_slot[r_ix]
+            l_r = ctx_q[r_ix] % vp1
+            lm_r = lm_flat[jnp.clip(l_r, 0, None) * v
+                           + jnp.clip(w_r, 0, v - 1)]
+            tot = jnp.where(r_sc > NEG_INF / 2, r_sc + lm_r, NEG_INF)
+            rb = jnp.argmax(tot)
+            e_score = tot[rb]
+            slot = r_ix[rb]
+            valid = e_score > NEG_INF / 2
+            prev_row = jnp.where(valid, ctx_q[slot] // vp1 - 1, -1)
+            word_row = jnp.where(valid, word_slot[slot], -1)
+            return e_score, prev_row.astype(jnp.int32), \
+                word_row.astype(jnp.int32)
+
+        def step(carry, inp):
+            deltas, ctx = carry
+            frame_scores, ti, active = inp
+
+            # 1. banded in-node advance; ctx rides the same selects
+            best = jnp.full_like(deltas, NEG_INF)
+            bctx = jnp.full(ctx.shape, ctx_dead)
+            for k in range(w_band):
+                cand = deltas + bands[:, :, k]
+                cctx = ctx
+                if k:
+                    cand = jnp.concatenate(
+                        [jnp.full((n_nodes, k), NEG_INF), cand[:, :-k]],
+                        axis=1,
+                    )
+                    cctx = jnp.concatenate(
+                        [jnp.full((n_nodes, k), ctx_dead, jnp.int32),
+                         ctx[:, :-k]], axis=1,
+                    )
+                win = cand > best
+                best = jnp.where(win, cand, best)
+                bctx = jnp.where(win, cctx, bctx)
+            log_b = jnp.where(
+                senone >= 0, frame_scores[jnp.clip(senone, 0, None)], NEG_INF
+            )
+            log_b = log_b.at[:, 0].set(0.0)
+            d_new = jnp.maximum(best + log_b, NEG_INF)
+            ctx_new = bctx
+
+            # 2-3. exits, best emission, entry refresh
+            ex, ex_ctx = exit_of(d_new, ctx_new)
+            e_score, prev_row, word_row = emissions(ex, ex_ctx)
+
+            flow = jnp.where(parent >= 0,
+                             ex[jnp.clip(parent, 0, None)], NEG_INF)
+            flow_ctx = ex_ctx[jnp.clip(parent, 0, None)]
+            restart = jnp.where(is_rc, e_score, NEG_INF)
+            use_restart = restart > flow
+            entry = jnp.maximum(flow, restart)
+            re_ctx = (ti + 1) * vp1 + jnp.where(word_row >= 0, word_row, v)
+            entry_ctx = jnp.where(use_restart, re_ctx, flow_ctx)
+
+            d_new = d_new.at[:, 0].set(entry)
+            ctx_new = ctx_new.at[:, 0].set(entry_ctx)
+
+            deltas = jnp.where(active, d_new, deltas)
+            ctx = jnp.where(active, ctx_new, ctx)
+            prev_row = jnp.where(active, prev_row, -1)
+            word_row = jnp.where(active, word_row, -1)
+            return (deltas, ctx), (prev_row, word_row)
+
+        def seed():
+            deltas0 = jnp.full((n_nodes, n_s), NEG_INF)
+            deltas0 = deltas0.at[:, 0].set(jnp.where(is_rc, 0.0, NEG_INF))
+            ctx0 = jnp.full((n_nodes, n_s), ctx_dead, jnp.int32)
+            return (deltas0, ctx0)
+
+        return step, seed, exit_of
+
+    def _build_finalize(self, n_cand: int):
+        """Device n-best: final exits -> top emissions over the static
+        (node, word) slots -> pointer-chase backtrace."""
+        import jax
+        import jax.numpy as jnp
+
+        lm_flat = self._j_lm_flat
+        node_slot, word_slot = self._j_node_slot, self._j_word_slot
+        slot_valid = self._j_slot_valid
+        v = self._j_lm.shape[1]
+        vp1 = v + 1
+        q = node_slot.shape[0]
+        l_max = self.max_words
+        n_cand = min(n_cand, int(q))
+        r_fin = int(min(q, max(32, 2 * n_cand)))
+        _, _, exit_of = self._build_step()
+
+        def finalize(carry, tb_prev, tb_word):
+            deltas, ctx = carry
+            ex, ex_ctx = exit_of(deltas, ctx)
+            ex_q = ex[node_slot]
+            ctx_q = ex_ctx[node_slot]
+            ac = jnp.where(slot_valid & (ex_q > NEG_INF / 2), ex_q, NEG_INF)
+            r_sc, r_ix = jax.lax.top_k(ac, r_fin)
+            w_r = word_slot[r_ix]
+            c_r = ctx_q[r_ix]
+            lm_r = lm_flat[jnp.clip(c_r % vp1, 0, None) * v
+                           + jnp.clip(w_r, 0, v - 1)]
+            tot = jnp.where(r_sc > NEG_INF / 2, r_sc + lm_r, NEG_INF)
+            scores, c_ix = jax.lax.top_k(tot, n_cand)
+            last_words = w_r[c_ix]                          # [C]
+            ptrs = c_r[c_ix] // vp1 - 1                     # [C]
+
+            def chase(ptr):
+                def st(p, _):
+                    w = jnp.where(p >= 0, tb_word[jnp.clip(p, 0, None)], -1)
+                    nx = jnp.where(p >= 0, tb_prev[jnp.clip(p, 0, None)], -1)
+                    return nx, w
+                _, ws = jax.lax.scan(st, ptr, None, length=l_max - 1)
+                return ws                                   # newest-first
+
+            rev = jnp.concatenate(
+                [last_words[:, None], jax.vmap(chase)(ptrs)], axis=1
+            )                                               # [C, L]
+            valid_c = scores > NEG_INF / 2
+            rev = jnp.where(valid_c[:, None], rev, -1)
+            lens = jnp.sum(rev >= 0, axis=1)
+            pos = lens[:, None] - 1 - jnp.arange(l_max)[None]
+            seqs = jnp.where(
+                pos >= 0,
+                jnp.take_along_axis(rev, jnp.clip(pos, 0, None), axis=1),
+                -1,
+            )
+            return seqs.astype(jnp.int32), scores
+
+        return finalize
+
+    def _build_run(self, t_pad: int, n_cand: int):
+        """Raw (unjitted) ``run(feats [B,T,D], n_frames [B])`` program:
+        GMM scoring + Viterbi scan + n-best extraction in one graph."""
+        import jax
+        import jax.numpy as jnp
+
+        step, seed, _ = self._build_step()
+        finalize = self._build_finalize(n_cand)
+
+        def run(feats_b, n_frames_b):
+            b = feats_b.shape[0]
+            scores_b = self._scores_in_graph(feats_b)
+
+            def one_utt(scores_u, n_frames_u):
+                tis = jnp.arange(t_pad, dtype=jnp.int32)
+                actives = tis < n_frames_u
+                carry, (tbp, tbw) = jax.lax.scan(
+                    step, seed(), (scores_u, tis, actives)
+                )
+                return finalize(carry, tbp, tbw)
+
+            return jax.vmap(one_utt)(scores_b, n_frames_b)
+
+        return run
+
+    def _scores_in_graph(self, feats_b):
+        """All-frames × all-senones GMM scores, traced into the decode
+        program (one jit: scoring + scan + finalize)."""
+        from poccala_tpu.ops.pallas.gmm_score_tpu import gmm_log_scores_fast
+
+        b, t, d = feats_b.shape
+        s = gmm_log_scores_fast(
+            feats_b.reshape(b * t, d), self.bank.means, self.bank.log_var,
+            self.bank.log_w, normalizer=self.normalizer,
+            score_dtype=self.score_dtype,
+        )
+        return s.reshape(b, t, -1)
+
+    def _run_fn(self, t_pad: int, n_cand: int):
+        import jax
+
+        cache = getattr(self, "_run_cache", None)
+        if cache is None:
+            cache = self._run_cache = {}
+        key = (t_pad, n_cand)
+        if key not in cache:
+            cache[key] = jax.jit(self._build_run(t_pad, n_cand))
+        return cache[key]
+
+    def _sharded_run_fn(self, t_pad: int, n_cand: int, mesh):
+        """The same program wrapped in ``shard_map`` over the ``data``
+        axis — per-utterance decode is independent, so the shard program
+        has zero collectives; tables and bank are closed over and
+        replicated."""
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map as _shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+        cache = getattr(self, "_sharded_cache", None)
+        if cache is None:
+            cache = self._sharded_cache = {}
+        key = (t_pad, n_cand, id(mesh))
+        if key not in cache:
+            run = self._build_run(t_pad, n_cand)
+            spec = P("data")
+            mapped = _shard_map(
+                run, mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=(spec, spec),
+                check_vma=False,
+            )
+            cache[key] = jax.jit(mapped)
+        return cache[key]
 
     # ------------------------------------------------------------------
     # Streaming (online) decode: the reference's serving intent —
     # record → VAD → decode (Decoder.py:190-218) — as a chunk-
-    # incremental API.  The scan carry (nodes, deltas, hist, last_word)
-    # and the traceback lattice persist across chunks; pointers are
-    # absolute frame indices, so concatenated per-chunk lattice rows
-    # form the same [T_total*E] table the one-shot scan writes, and a
-    # chunked decode reproduces the one-shot result exactly (pinned in
+    # incremental API.  The scan carry (deltas, hist, last) and the
+    # traceback lattice persist across chunks; lattice pointers are
+    # absolute frame indices, so concatenated per-chunk rows form the
+    # same [T_total] table the one-shot scan writes, and a chunked
+    # decode reproduces the one-shot result exactly (pinned in
     # tests/test_streaming_decode.py).
     # ------------------------------------------------------------------
 
@@ -187,14 +467,14 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         """Start a streaming decode session.
 
         :param batch: number of parallel audio streams
-        :param max_frames: total-frame capacity (sizes the traceback-
-            pointer key space; exceeding it raises at feed time)
+        :param max_frames: total-frame capacity (sizes the traceback
+            table; exceeding it raises at feed time)
         """
         self._prep_device()
         return _StreamState(batch=batch, max_frames=max_frames)
 
     def stream_feed(self, st, feats_chunk, n_valid=None):
-        """Advance the token machine over one feature chunk.
+        """Advance the decoder over one feature chunk.
 
         :param feats_chunk: ``[B, Tc, D]`` (or ``[Tc, D]`` when
             ``batch == 1``) — VAD-kept frames only, as in the
@@ -216,52 +496,41 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             )
         if n_valid is None:
             n_valid = np.full((b,), t_c, np.int32)
-        scores = self._frame_scores_device(feats_chunk)      # [B, Tc, S]
-        run = self._chunk_scan_fn(t_c, st.max_frames)
+        run = self._chunk_fn(t_c)
         if st.carry is None:
-            seed = self._seed_fn(t_c, st.max_frames)
-            st.carry = seed(scores)
+            st.carry = self._seed_fn()(st.batch)
         st.carry, (tb_prev, tb_word) = run(
             st.carry,
-            scores,
+            jnp.asarray(feats_chunk),
             jnp.asarray(np.int32(st.t_offset)),
             jnp.asarray(n_valid.astype(np.int32)),
         )
-        # [B, Tc, E] chunk lattice rows appended in frame order: row
-        # index in the concatenated table == absolute ti*E + e
-        st.tb_prev.append(np.asarray(tb_prev).reshape(b, -1))
-        st.tb_word.append(np.asarray(tb_word).reshape(b, -1))
+        st.tb_prev.append(np.asarray(tb_prev))   # [B, Tc]
+        st.tb_word.append(np.asarray(tb_word))
         st.t_offset += t_c
         return st
 
     def stream_result(self, st, return_nbest: int = 1):
         """Current n-best hypotheses (callable at any point; the stream
         may continue afterwards)."""
+        import jax.numpy as jnp
+
         if st.carry is None:
             return [[] for _ in range(st.batch)]
-        nodes, deltas, hist, last_word = (np.asarray(a) for a in st.carry)
         tb_prev = np.concatenate(st.tb_prev, axis=1)
         tb_word = np.concatenate(st.tb_word, axis=1)
-        out: list[list[Hypothesis]] = []
-        for u in range(st.batch):
-            exits = self._exit_scores(deltas[u], np.clip(nodes[u], 0, None))
-            best: dict[tuple, float] = {}
-            for k in range(self.max_tokens):
-                if nodes[u, k] < 0 or exits[k] <= NEG_INF / 2:
-                    continue
-                for w_id in self._word_tab[nodes[u, k]]:
-                    if w_id < 0:
-                        continue
-                    lm = float(self._lm_tab[last_word[u, k], w_id])
-                    seq = self._backtrace(tb_prev[u], tb_word[u], hist[u, k])
-                    seq = seq + (self._vocab[w_id],)
-                    score = float(exits[k]) + lm
-                    if seq not in best or score > best[seq]:
-                        best[seq] = score
-            hyps = [Hypothesis(score=s, words=w) for w, s in best.items()]
-            hyps.sort(reverse=True)
-            out.append(hyps[:return_nbest])
-        return out
+        pad = st.max_frames - tb_prev.shape[1]
+        if pad:
+            tb_prev = np.pad(tb_prev, ((0, 0), (0, pad)),
+                             constant_values=-1)
+            tb_word = np.pad(tb_word, ((0, 0), (0, pad)),
+                             constant_values=-1)
+        n_cand = self._n_cand(return_nbest)
+        fin = self._finalize_fn(st.max_frames, n_cand)
+        seqs, scores = fin(st.carry, jnp.asarray(tb_prev),
+                           jnp.asarray(tb_word))
+        return self._to_hypotheses(np.asarray(seqs), np.asarray(scores),
+                                   st.batch, return_nbest)
 
     def decode_stream(self, chunks, return_nbest: int = 1):
         """Convenience: decode one utterance (or batch) delivered as a
@@ -277,308 +546,55 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             st = self.stream_feed(st, c)
         return self.stream_result(st, return_nbest=return_nbest)
 
-    def _chunk_scan_fn(self, t_c: int, max_frames: int):
+    def _chunk_fn(self, t_c: int):
         import jax
         import jax.numpy as jnp
 
         cache = getattr(self, "_chunk_cache", None)
         if cache is None:
             cache = self._chunk_cache = {}
-        key = (t_c, max_frames)
-        if key in cache:
-            return cache[key]
-        one_utt_step, _ = self._build_step(max_frames * self.emit_top)
+        if t_c in cache:
+            return cache[t_c]
+        step, _, _ = self._build_step()
 
-        def run_chunk(carry_b, scores_b, t0, n_valid_b):
+        def run_chunk(carry_b, feats_b, t0, n_valid_b):
+            scores_b = self._scores_in_graph(feats_b)
+
             def one_utt(carry_u, scores_u, n_valid_u):
                 tis = t0 + jnp.arange(t_c, dtype=jnp.int32)
                 actives = jnp.arange(t_c) < n_valid_u
-                return jax.lax.scan(
-                    one_utt_step, carry_u, (scores_u, tis, actives)
-                )
+                return jax.lax.scan(step, carry_u, (scores_u, tis, actives))
 
             return jax.vmap(one_utt, in_axes=(0, 0, 0))(
                 carry_b, scores_b, n_valid_b
             )
 
         fn = jax.jit(run_chunk)
-        cache[key] = fn
+        cache[t_c] = fn
         return fn
 
-    def _seed_fn(self, t_c: int, max_frames: int):
-        import jax
-
-        cache = getattr(self, "_seed_cache", None)
-        if cache is None:
-            cache = self._seed_cache = {}
-        key = (t_c, max_frames)
-        if key in cache:
-            return cache[key]
-        _, seed_state = self._build_step(max_frames * self.emit_top)
-        seed_t = min(10, t_c)
-        fn = jax.jit(jax.vmap(lambda s: seed_state(s, seed_t)))
-        cache[key] = fn
-        return fn
-
-    def _frame_scores_device(self, feats):
-        import jax.numpy as jnp
-
-        from poccala_tpu.ops.pallas.gmm_score_tpu import gmm_log_scores_fast
-
-        b, t_pad, d = feats.shape
-        flat = jnp.asarray(feats).reshape(b * t_pad, d)
-        s = gmm_log_scores_fast(flat, self.bank.means, self.bank.log_var,
-                                self.bank.log_w, normalizer=self.normalizer,
-                                score_dtype=self.score_dtype)
-        return s.reshape(b, t_pad, -1)
-
-    # ------------------------------------------------------------------
-    def _scan_fn(self, t_pad: int):
-        import jax
-
-        cache = getattr(self, "_scan_cache", None)
-        if cache is None:
-            cache = self._scan_cache = {}
-        if t_pad in cache:
-            return cache[t_pad]
-        fn = jax.jit(self._build_scan(t_pad))
-        cache[t_pad] = fn
-        return fn
-
-    def _sharded_scan_fn(self, t_pad: int, mesh):
-        """The same scan wrapped in ``shard_map`` over the ``data`` axis
-        — per-utterance decode is independent, so the shard program has
-        zero collectives; the lexicon/LM tables and bank are closed over
-        and replicated."""
-        import jax
-        from jax.sharding import PartitionSpec as P
-
-        try:
-            from jax import shard_map as _shard_map
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map as _shard_map
-
-        cache = getattr(self, "_sharded_cache", None)
-        if cache is None:
-            cache = self._sharded_cache = {}
-        key = (t_pad, id(mesh))
-        if key in cache:
-            return cache[key]
-        run = self._build_scan(t_pad)
-        spec = P("data")
-        mapped = _shard_map(
-            run, mesh=mesh,
-            in_specs=(spec, spec),
-            out_specs=((spec, spec, spec, spec), (spec, spec)),
-            check_vma=False,
-        )
-        fn = jax.jit(mapped)
-        cache[key] = fn
-        return fn
-
-    def _build_step(self, n_ptr: int):
-        """Build the per-frame token-machine step shared by the one-shot
-        scan (:meth:`_build_scan`) and the chunk-incremental stream scan
-        (:meth:`_build_chunk_scan`).  ``n_ptr`` sizes the traceback-
-        pointer key space (= max total frames × E)."""
+    def _seed_fn(self):
         import jax
         import jax.numpy as jnp
 
-        bands, senone = self._j_bands, self._j_senone
-        child_tab, word_tab = self._j_child, self._j_word
-        roots, lm_tab = self._j_roots, self._j_lm
-        k_cap = self.max_tokens
-        n_s = self.n_tok_states
-        n_nodes = bands.shape[0]
-        c_max = child_tab.shape[1]
-        w_t = word_tab.shape[1]
-        r = len(self._roots)
-        v = lm_tab.shape[1]
-        w_band = bands.shape[-1]
-        beam = self.beam
-        e_top = self.emit_top
-        # score-ranked root selection: with large lexicons (hundreds of
-        # first-syllable nodes) only the acoustically-plausible roots are
-        # seeded/restarted each frame, ranked by their first emitting
-        # senone's frame score (the device analog of the reference's
-        # generate_first_word candidate cut, Decoder.py:63-88)
-        r_keep = int(min(r, max(self.candidate, k_cap // 4)))
-        root_first_sen = jnp.clip(
-            self._j_senone[roots, 1], 0, None
-        )  # [R] first emitting senone of each root syllable
+        _, seed, _ = self._build_step()
 
-        def step_tokens(nodes, deltas, frame_scores):
-            bn = bands[jnp.clip(nodes, 0, n_nodes - 1)]   # [K, Ns, W]
-            best = jnp.full_like(deltas, NEG_INF)
-            for k in range(w_band):
-                cand = deltas + bn[:, :, k]
-                if k:
-                    cand = jnp.concatenate(
-                        [jnp.full((cand.shape[0], k), NEG_INF),
-                         cand[:, :-k]], axis=1,
-                    )
-                best = jnp.maximum(best, cand)
-            sen = senone[jnp.clip(nodes, 0, n_nodes - 1)]
-            log_b = jnp.where(
-                sen >= 0, frame_scores[jnp.clip(sen, 0, None)], NEG_INF
-            )
-            log_b = log_b.at[:, 0].set(0.0)
-            alive = (nodes >= 0)[:, None]
-            return jnp.where(
-                alive, jnp.maximum(best + log_b, NEG_INF), NEG_INF
+        def make(batch: int):
+            one = seed()
+            return jax.tree.map(
+                lambda x: jnp.broadcast_to(x[None], (batch,) + x.shape), one
             )
 
-        def exit_of(nodes, deltas):
-            bn = bands[jnp.clip(nodes, 0, n_nodes - 1)]
-            out = jnp.full(nodes.shape, NEG_INF)
-            for k in range(1, w_band):
-                rr = n_s - 1 - k
-                if rr < 0:
-                    continue
-                out = jnp.maximum(out, deltas[:, rr] + bn[:, rr, k])
-            return jnp.where(nodes >= 0, out, NEG_INF)
+        return make
 
-        def one_utt_step(carry, inp):
-            nodes, deltas, hist, last_word = carry
-            frame_scores, ti, active = inp
-
-            stepped = step_tokens(nodes, deltas, frame_scores)
-            deltas = jnp.where(active & (nodes >= 0)[:, None], stepped, deltas)
-            exits = jnp.where(active, exit_of(nodes, deltas), NEG_INF)
-
-            # --- word emissions; top-E re-enter the tree root, each with
-            # its own traceback entry (host tiers expand every emission;
-            # E-best keeps confusable boundaries alive)
-            wt = word_tab[jnp.clip(nodes, 0, n_nodes - 1)]   # [K, Wt]
-            w_ok = (wt >= 0) & (exits > NEG_INF / 2)[:, None]
-            lm = lm_tab[last_word[:, None], jnp.clip(wt, 0, v - 1)]
-            emit_score = jnp.where(w_ok, exits[:, None] + lm, NEG_INF)
-            flat = emit_score.reshape(-1)
-            e_scores, e_idx = jax.lax.top_k(flat, e_top)     # [E]
-            ek, ew = e_idx // w_t, e_idx % w_t
-            e_valid = e_scores > NEG_INF / 2
-            tb_prev_row = jnp.where(e_valid, hist[ek], -1)   # [E]
-            tb_word_row = jnp.where(
-                e_valid, wt[ek, ew].astype(jnp.int32), 0
-            )                                                # [E]
-            e_words = tb_word_row
-
-            # --- candidate pool: survivors + children + E·R restarts
-            ch = child_tab[jnp.clip(nodes, 0, n_nodes - 1)].reshape(-1)
-            ch_ok = (ch >= 0) & jnp.repeat(exits > NEG_INF / 2, c_max)
-            ch_d = jnp.full((k_cap * c_max, n_s), NEG_INF)
-            ch_d = ch_d.at[:, 0].set(
-                jnp.where(ch_ok, jnp.repeat(exits, c_max), NEG_INF)
-            )
-            # restarts: only the r_keep acoustically best roots this frame
-            _, root_sel = jax.lax.top_k(frame_scores[root_first_sen], r_keep)
-            restart_roots = roots[root_sel]                  # [R_keep]
-            re_d = jnp.full((e_top * r_keep, n_s), NEG_INF)
-            re_d = re_d.at[:, 0].set(
-                jnp.repeat(jnp.where(e_valid, e_scores, NEG_INF), r_keep)
-            )
-            re_nodes = jnp.where(
-                jnp.repeat(e_valid, r_keep),
-                jnp.tile(restart_roots, e_top), -1,
-            ).astype(jnp.int32)
-            re_hist = jnp.repeat(ti * e_top + jnp.arange(e_top), r_keep)
-            re_last = jnp.repeat(e_words, r_keep)
-
-            nodes_p = jnp.concatenate([
-                nodes,
-                jnp.where(ch_ok, ch, -1).astype(jnp.int32),
-                re_nodes,
-            ])
-            deltas_p = jnp.concatenate([deltas, ch_d, re_d])
-            hist_p = jnp.concatenate([
-                hist, jnp.repeat(hist, c_max), re_hist.astype(jnp.int32),
-            ])
-            last_p = jnp.concatenate([
-                last_word, jnp.repeat(last_word, c_max),
-                re_last.astype(jnp.int32),
-            ])
-
-            # --- dedup on (node, hist): sort by key (score descending as
-            # the tie-break), mask any row equal to its predecessor —
-            # O(P log P) sorted-segment masking, no pairwise table
-            score_p = deltas_p.max(axis=1)
-            p_tot = nodes_p.shape[0]
-            live = nodes_p >= 0
-            # int32 key space: (n_nodes + 2) * (T*E + 2) must fit in
-            # 2^31 — true for any realistic lexicon/utterance (25k nodes
-            # x 2k pointers ~ 5e7)
-            key = (nodes_p + 1) * (n_ptr + 2) + (hist_p + 1)
-            dead_base = jnp.int32((n_nodes + 2) * (n_ptr + 2))
-            key = jnp.where(live, key, dead_base + jnp.arange(p_tot))
-            order = jnp.lexsort((-score_p, key))
-            key_s = key[order]
-            score_s = score_p[order]
-            is_dup = jnp.concatenate([
-                jnp.zeros((1,), bool), key_s[1:] == key_s[:-1]
-            ])
-            score_s = jnp.where(is_dup, NEG_INF, score_s)
-
-            # --- top-K + beam fraction
-            top_scores, top_idx = jax.lax.top_k(score_s, k_cap)
-            sel = order[top_idx]
-            n_alive = jnp.sum(top_scores > NEG_INF / 2)
-            n_keep = jnp.maximum(1, jnp.ceil(n_alive * beam).astype(jnp.int32))
-            keep = (jnp.arange(k_cap) < n_keep) & (top_scores > NEG_INF / 2)
-
-            new_nodes = jnp.where(keep, nodes_p[sel], -1).astype(jnp.int32)
-            new_deltas = jnp.where(keep[:, None], deltas_p[sel], NEG_INF)
-            new_hist = jnp.where(keep, hist_p[sel], -1).astype(jnp.int32)
-            new_last = jnp.where(keep, last_p[sel], v).astype(jnp.int32)
-
-            # inactive frames: carry through unchanged
-            nodes = jnp.where(active, new_nodes, nodes)
-            deltas = jnp.where(active, new_deltas, deltas)
-            hist = jnp.where(active, new_hist, hist)
-            last_word = jnp.where(active, new_last, last_word)
-            tb_prev_row = jnp.where(active, tb_prev_row, -1)
-
-            return (nodes, deltas, hist, last_word), (
-                tb_prev_row.astype(jnp.int32),
-                tb_word_row.astype(jnp.int32),
-            )
-
-        def seed_state(scores_u, seed_t: int):
-            # initial seeding: top roots by mean first-senone score
-            # over the opening frames (generate_first_word analog)
-            seed_n = int(min(r, k_cap))
-            root_rank = jnp.mean(
-                scores_u[:seed_t][:, root_first_sen], axis=0
-            )  # [R]
-            _, seed_sel = jax.lax.top_k(root_rank, int(min(r, seed_n)))
-            seed_roots = roots[seed_sel]
-            nodes0 = jnp.full((k_cap,), -1, jnp.int32)
-            nodes0 = nodes0.at[: len(seed_roots)].set(seed_roots)
-            deltas0 = jnp.full((k_cap, n_s), NEG_INF)
-            deltas0 = deltas0.at[: len(seed_roots), 0].set(0.0)
-            hist0 = jnp.full((k_cap,), -1, jnp.int32)
-            last0 = jnp.full((k_cap,), v, jnp.int32)
-            return (nodes0, deltas0, hist0, last0)
-
-        return one_utt_step, seed_state
-
-    def _build_scan(self, t_pad: int):
-        """Build the raw (unjitted) ``run(scores[B,T,S], n_frames[B])``
-        scan program."""
+    def _finalize_fn(self, max_frames: int, n_cand: int):
         import jax
-        import jax.numpy as jnp
 
-        e_top = self.emit_top
-        one_utt_step, seed_state = self._build_step(t_pad * e_top)
-
-        def run(scores_b, n_frames_b):
-            def one_utt(scores_u, n_frames_u):
-                carry0 = seed_state(scores_u, min(10, t_pad))
-                tis = jnp.arange(t_pad, dtype=jnp.int32)
-                actives = tis < n_frames_u
-                return jax.lax.scan(
-                    one_utt_step, carry0, (scores_u, tis, actives)
-                )
-
-            return jax.vmap(one_utt)(scores_b, n_frames_b)
-
-        return run
+        cache = getattr(self, "_fin_cache", None)
+        if cache is None:
+            cache = self._fin_cache = {}
+        key = (max_frames, n_cand)
+        if key not in cache:
+            finalize = self._build_finalize(n_cand)
+            cache[key] = jax.jit(jax.vmap(finalize))
+        return cache[key]
