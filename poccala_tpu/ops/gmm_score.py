@@ -83,11 +83,20 @@ def gmm_component_logpdf(
     a1 = prec.reshape(s * m, d)  # x² coefficients
     a2 = (means * prec).reshape(s * m, d)  # cross-term coefficients
     mu2p = jnp.sum(means * means * prec, axis=-1)  # [S, M]
+    # precision=HIGHEST on the f32 path: TPU f32 dots default to one
+    # bf16 MXU pass; with floor-level variances (p = 1/σ² up to 1e6) the
+    # cancellation between the x²p and 2xμp terms amplifies the 8-bit
+    # mantissa error into thousands of nats (observed: +1e8 "logliks"
+    # on degenerate senones).  The bf16 option keeps single-pass
+    # semantics by construction.
+    dot_prec = (jax.lax.Precision.HIGHEST if score_dtype == "float32"
+                else jax.lax.Precision.DEFAULT)
     quad = (
         jnp.dot((x * x).astype(op), a1.astype(op).T,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=dot_prec)
         - 2.0 * jnp.dot(x.astype(op), a2.astype(op).T,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=dot_prec)
     )  # [T, S*M]
     t = x.shape[0]
     return (

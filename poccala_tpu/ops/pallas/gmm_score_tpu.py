@@ -67,8 +67,15 @@ def _pack_params(means, log_var, log_w, normalizer: str,
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, mx_ref, ss_ref, *, mix: int):
     m = pl.program_id(2)
+    # HIGHEST on f32 operands: one bf16 MXU pass loses ~8 mantissa bits,
+    # which floor-level precisions (1/σ² up to 1e6) amplify into huge
+    # score errors (see ops/gmm_score.py); bf16 operands keep their
+    # explicit single-pass semantics
+    prec = (jax.lax.Precision.HIGHEST if x_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     v = (
-        jnp.dot(x_ref[:], w_ref[0], preferred_element_type=jnp.float32)
+        jnp.dot(x_ref[:], w_ref[0], preferred_element_type=jnp.float32,
+                precision=prec)
         + b_ref[0]
     )  # [T_tile, S_tile]
 
