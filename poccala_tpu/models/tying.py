@@ -107,6 +107,10 @@ def _merge_assignments(
     """Collapse old senones into ``s_new`` shared ones per
     ``assign_of[s_old] -> new id``, occupancy-weighted (same slot-wise
     mixture structure; a post-tie EM round re-fits properly)."""
+    # compact away empty classes (k-means may leave clusters unused)
+    used = np.unique(assign_of)
+    assign_of = np.searchsorted(used, assign_of)
+    s_new = len(used)
     old_map = np.asarray(bank.senone_map)
     u_total, emit = old_map.shape
     m, d = bank.max_mix, bank.dim

@@ -338,6 +338,107 @@ def make_state_sharded_estep(
     return jax.jit(mapped)
 
 
+def make_state_sharded_align(
+    mesh: Mesh,
+    state_num: int,
+    max_label_len: int,
+    normalizer: str = "textbook",
+    score_dtype: str = "float32",
+):
+    """Viterbi forced alignment with the senone bank sharded over the
+    ``state`` axis (scheme 1 on BASELINE config-4 banks): each shard
+    scores its local senones, the ``[T, N_s]`` sentence lattices are
+    assembled with a ``pmax``, and the DP runs redundantly per shard —
+    the full-S GMM tensors never materialize on any device
+    (``Controller.py:47-77`` unit partitioning for the scheme-1 path)."""
+    from poccala_tpu.train import alignment as align_mod
+
+    def shard_fn(bank, labels, lens, xs, masks):
+        s_local = bank.means.shape[0]
+        s_offset = jax.lax.axis_index("state") * s_local
+        return align_mod.align_batch(
+            bank, labels, lens, xs, masks, state_num, max_label_len,
+            normalizer=normalizer, score_dtype=score_dtype,
+            state_axis_name="state", s_offset=s_offset,
+        )
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(bank_pspec(), P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_state_sharded_fit(
+    mesh: Mesh,
+    mix: int,
+    max_mix: int,
+    reinit: bool,
+    c_covariance: float = 1e-6,
+    converge_delta: float = 1.28,
+    max_iters: int = 32,
+    normalizer: str = "textbook",
+):
+    """Grouped k-means (re)init + EM with the senone axis sharded over
+    ``state`` (the scheme-1 M-side of ``Trainer.fit_gmms``): the grouped
+    program is per-senone independent, so each shard fits its local
+    senones' GMMs on its local frame buckets — no collectives at all,
+    and no full-S tensor on any device.
+
+    Returns a jitted ``(key, frames, mask, means, log_var, log_w,
+    mix_counts) -> (means, log_var, log_w, mix_counts)`` with every
+    senone-axis argument/result ``P('state')``."""
+    from poccala_tpu.ops import em as em_ops
+    from poccala_tpu.ops import kmeans as km_ops
+    from poccala_tpu.utils.logmath import masked_log
+
+    def shard_fn(key, frames, mask, means, log_var, log_w, mix_counts):
+        key = jax.random.fold_in(key, jax.lax.axis_index("state"))
+        s_local = frames.shape[0]
+        counts = mask.sum(axis=1)
+        enough = counts >= max(mix, 2)
+        means = means[:, :max_mix]
+        if reinit:
+            kres = km_ops.kmeans_grouped(key, frames, mask, k=mix)
+            pad = max_mix - mix
+            km_means = jnp.pad(kres["means"], ((0, 0), (0, pad), (0, 0)))
+            km_logvar = jnp.pad(
+                jnp.log(kres["variances"]), ((0, 0), (0, pad), (0, 0))
+            )
+            km_logw = masked_log(jnp.pad(kres["alpha"], ((0, 0), (0, pad))))
+            sel = enough[:, None, None]
+            means = jnp.where(sel, km_means, means)
+            log_var = jnp.where(sel, km_logvar, log_var)
+            log_w = jnp.where(enough[:, None], km_logw, log_w)
+        mix_mask = jnp.tile(jnp.arange(max_mix)[None, :] < mix, (s_local, 1))
+        params, _, _ = em_ops.em_fit_grouped(
+            means, log_var, log_w, frames, mask, mix_mask,
+            c_covariance=c_covariance,
+            converge_delta=converge_delta,
+            max_iters=max_iters,
+            normalizer=normalizer,
+        )
+        sel = enough[:, None, None]
+        return (
+            jnp.where(sel, params.means, means),
+            jnp.where(sel, params.log_var, log_var),
+            jnp.where(enough[:, None], params.log_w, log_w),
+            jnp.where(enough, mix, mix_counts).astype(jnp.int32),
+        )
+
+    mapped = _shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(),) + (P("state"),) * 6,
+        out_specs=(P("state"),) * 4,
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_state_sharded_train_step(
     mesh: Mesh,
     state_num: int,

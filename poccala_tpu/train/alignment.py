@@ -29,7 +29,7 @@ from poccala_tpu.utils.logmath import NEG_INF
 @functools.partial(
     jax.jit,
     static_argnames=("state_num", "max_label_len", "normalizer",
-                     "score_dtype"),
+                     "score_dtype", "state_axis_name"),
 )
 def align_utterance(
     bank: SenoneBank,
@@ -41,20 +41,42 @@ def align_utterance(
     max_label_len: int,
     normalizer: str = "textbook",
     score_dtype: str = "float32",
+    state_axis_name: str | None = None,
+    s_offset: jax.Array | int = 0,
 ):
     """Viterbi-align one utterance against its sentence HMM.
+
+    ``state_axis_name``: when set (inside a ``shard_map``), the bank's
+    GMM tensors are the local senone shard (rows ``[s_offset,
+    s_offset + S_local)``); each shard scores only the sentence states
+    whose senone it owns and the per-utterance ``[T, N_s]`` lattice is
+    assembled with a ``pmax`` — the same exchange as the state-sharded
+    E-step (``accumulators.utterance_stats``).
 
     :returns: (score, label_pos ``[T]`` — per-frame index into the label
         sequence (-1 on virtual states / padding), loglik-style score)
     """
-    s_total = bank.means.shape[0]
+    s_local = bank.means.shape[0]
     ehmm = build_embedded(bank, label, label_len, state_num, max_label_len)
-    sen = jnp.clip(ehmm.senone_idx, 0, s_total - 1)
-    comp = gmm_component_logpdf(
-        x, bank.means[sen], bank.log_var[sen], normalizer=normalizer,
-        score_dtype=score_dtype,
-    ) + bank.log_w[sen][None]
-    scores = jax.nn.logsumexp(comp, axis=-1)
+    if state_axis_name is None:
+        sen = jnp.clip(ehmm.senone_idx, 0, s_local - 1)
+        comp = gmm_component_logpdf(
+            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer,
+            score_dtype=score_dtype,
+        ) + bank.log_w[sen][None]
+        scores = jax.nn.logsumexp(comp, axis=-1)
+    else:
+        lsen_raw = ehmm.senone_idx - s_offset
+        owned = (lsen_raw >= 0) & (lsen_raw < s_local) & (ehmm.senone_idx >= 0)
+        sen = jnp.clip(lsen_raw, 0, s_local - 1)
+        comp = gmm_component_logpdf(
+            x, bank.means[sen], bank.log_var[sen], normalizer=normalizer,
+            score_dtype=score_dtype,
+        ) + bank.log_w[sen][None]
+        comp = jnp.where(owned[None, :, None], comp, NEG_INF)
+        scores = jax.lax.pmax(
+            jax.nn.logsumexp(comp, axis=-1), state_axis_name
+        )
     r = jnp.arange(ehmm.senone_idx.shape[0])
     log_b = jnp.where((ehmm.senone_idx >= 0)[None, :], scores, NEG_INF)
     log_b = jnp.where((r == 0)[None, :], 0.0, log_b)
@@ -73,7 +95,9 @@ def align_utterance(
 
 def align_batch(bank, labels, label_lens, xs, t_masks, state_num,
                 max_label_len, normalizer: str = "textbook",
-                score_dtype: str = "float32"):
+                score_dtype: str = "float32",
+                state_axis_name: str | None = None,
+                s_offset: jax.Array | int = 0):
     """vmap of :func:`align_utterance`."""
     fn = functools.partial(
         align_utterance,
@@ -81,8 +105,10 @@ def align_batch(bank, labels, label_lens, xs, t_masks, state_num,
         max_label_len=max_label_len,
         normalizer=normalizer,
         score_dtype=score_dtype,
+        state_axis_name=state_axis_name,
     )
-    return jax.vmap(lambda l, n, x, m: fn(bank, l, n, x, m))(
+    return jax.vmap(lambda l, n, x, m: fn(bank, l, n, x, m,
+                                          s_offset=s_offset))(
         labels, label_lens, xs, t_masks
     )
 
@@ -111,16 +137,23 @@ def check_alignment(label_pos: np.ndarray, labels: np.ndarray,
                     label_lens: np.ndarray) -> np.ndarray:
     """Per-utterance alignment sanity (``AcousticModel.py:751-757``): the
     aligned path must visit at least as many distinct units as the label
-    contains; failures are dropped with a warning upstream."""
-    b = label_pos.shape[0]
-    ok = np.zeros(b, bool)
-    for i in range(b):
-        lp = label_pos[i]
-        visited = lp[lp >= 0]
-        units_seen = set(labels[i][p] for p in np.unique(visited))
-        units_want = set(labels[i][: label_lens[i]].tolist())
-        ok[i] = len(units_seen) >= len(units_want)
-    return ok
+    contains; failures are dropped with a warning upstream.  Vectorized
+    over the batch (one ``unique`` per side, no per-utterance Python —
+    this runs every scheme-1 epoch)."""
+    lp = np.asarray(label_pos)
+    labels = np.asarray(labels)
+    lens = np.asarray(label_lens)
+    b = lp.shape[0]
+    ui, ti = np.nonzero(lp >= 0)
+    vis = np.unique(np.stack(
+        [ui, labels[ui, lp[ui, ti]]], axis=1), axis=0) if len(ui) else \
+        np.zeros((0, 2), np.int64)
+    n_seen = np.bincount(vis[:, 0], minlength=b)
+    wi, wj = np.nonzero(np.arange(labels.shape[1])[None] < lens[:, None])
+    want = np.unique(np.stack([wi, labels[wi, wj]], axis=1), axis=0) \
+        if len(wi) else np.zeros((0, 2), np.int64)
+    n_want = np.bincount(want[:, 0], minlength=b)
+    return n_seen >= n_want
 
 
 def group_frames_by_senone(

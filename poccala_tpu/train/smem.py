@@ -258,10 +258,16 @@ def smem_pass(trainer, frames: np.ndarray, mask: np.ndarray,
             means[s] = np.asarray(new_params.means)
             log_var[s] = np.asarray(new_params.log_var)
             log_w[s] = np.asarray(new_params.log_w)
+    # re-place onto the bank's original shardings: on a state-sharded
+    # mesh the full-S tensors must not land on one device (the per-
+    # senone SMEM math itself runs on host-fetched [cap, D] slices)
+    def put(arr, ref):
+        return jax.device_put(jnp.asarray(arr), ref.sharding)
+
     bank = dataclasses.replace(
         bank,
-        means=jnp.asarray(means),
-        log_var=jnp.asarray(log_var),
-        log_w=jnp.asarray(log_w),
+        means=put(means, bank.means),
+        log_var=put(log_var, bank.log_var),
+        log_w=put(log_w, bank.log_w),
     )
     return bank, n_accepted

@@ -118,6 +118,38 @@ class Trainer:
         self.key, sub = jax.random.split(self.key)
         return sub
 
+    def _sharded_align(self):
+        """Cached state-sharded forced-alignment program."""
+        if getattr(self, "_sharded_align_fn", None) is None:
+            from poccala_tpu.parallel import mesh as pmesh
+
+            self._sharded_align_fn = pmesh.make_state_sharded_align(
+                self.mesh, self.cfg.model.state_num,
+                self.cfg.train.max_label_len,
+                normalizer=self.cfg.model.gaussian_normalizer,
+                score_dtype=self.cfg.model.score_dtype,
+            )
+        return self._sharded_align_fn
+
+    def _sharded_fit(self, reinit: bool):
+        """Cached state-sharded grouped k-means/EM program (keyed by
+        mixture level and reinit flag)."""
+        cache = getattr(self, "_sharded_fit_cache", None)
+        if cache is None:
+            cache = self._sharded_fit_cache = {}
+        key = (self.mix_level, bool(reinit))
+        if key not in cache:
+            from poccala_tpu.parallel import mesh as pmesh
+
+            cache[key] = pmesh.make_state_sharded_fit(
+                self.mesh, self.mix_level, self.bank.max_mix, bool(reinit),
+                c_covariance=self.cfg.model.c_covariance,
+                converge_delta=self.cfg.train.gmm_converge_delta,
+                max_iters=self.cfg.train.max_em_iters,
+                normalizer=self.cfg.model.gaussian_normalizer,
+            )
+        return cache[key]
+
     @property
     def state_num(self) -> int:
         return self.cfg.model.state_num
@@ -213,15 +245,30 @@ class Trainer:
                 )
                 ok = np.ones(len(batch.feats), bool)
             else:
-                _, lp = align.align_batch(
-                    self.bank,
-                    jnp.asarray(batch.labels), jnp.asarray(batch.label_lens),
-                    jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
-                    self.state_num, self.cfg.train.max_label_len,
-                    normalizer=self.cfg.model.gaussian_normalizer,
-                    score_dtype=self.cfg.model.score_dtype,
-                )
-                label_pos = np.asarray(lp)
+                if self.state_shards > 1:
+                    # bank stays sharded P('state'); full-S GMM tensors
+                    # never materialize (pmax'd score lattices instead)
+                    from poccala_tpu.parallel import pad_batch_for_mesh
+
+                    arrays, b_true = pad_batch_for_mesh(
+                        (batch.labels, batch.label_lens, batch.feats,
+                         batch.t_masks), self.mesh,
+                    )
+                    _, lp = self._sharded_align()(
+                        self.bank, *(jnp.asarray(a) for a in arrays)
+                    )
+                    label_pos = np.asarray(lp)[:b_true]
+                else:
+                    _, lp = align.align_batch(
+                        self.bank,
+                        jnp.asarray(batch.labels),
+                        jnp.asarray(batch.label_lens),
+                        jnp.asarray(batch.feats), jnp.asarray(batch.t_masks),
+                        self.state_num, self.cfg.train.max_label_len,
+                        normalizer=self.cfg.model.gaussian_normalizer,
+                        score_dtype=self.cfg.model.score_dtype,
+                    )
+                    label_pos = np.asarray(lp)
                 ok = align.check_alignment(
                     label_pos, batch.labels, batch.label_lens
                 )
@@ -264,6 +311,31 @@ class Trainer:
         parameters (``AcousticModel.py:549-551``)."""
         mix = self.mix_level
         bank = self.bank
+        if self.state_shards > 1:
+            # per-senone-independent program sharded over the state axis:
+            # each shard k-means/EM-fits its local senones' GMMs; no
+            # device ever holds the full-S tensors (scheme 1 at
+            # BASELINE config-4 scale, Controller.py:47-77)
+            fit = self._sharded_fit(reinit)
+            new_means, new_lv, new_lw, new_mc = fit(
+                self._next_key(), jnp.asarray(frames), jnp.asarray(mask),
+                bank.means, bank.log_var, bank.log_w, bank.mix_counts,
+            )
+            self.bank = dataclasses.replace(
+                bank, means=new_means, log_var=new_lv, log_w=new_lw,
+                mix_counts=new_mc,
+            )
+            if smem:
+                from poccala_tpu.train.smem import smem_pass
+
+                self.bank, n_accepted = smem_pass(
+                    self, frames, mask,
+                    np.asarray(mask.sum(axis=1) >= max(mix, 2)),
+                )
+                if n_accepted:
+                    self.log.info("SMEM: %d split-merge moves accepted",
+                                  n_accepted)
+            return
         counts = mask.sum(axis=1)
         enough = jnp.asarray(counts >= max(mix, 2))
         frames_j = jnp.asarray(frames)
