@@ -43,6 +43,32 @@ def _load_inventory(cfg, args):
     return UnitInventory.standard(kind)
 
 
+def _maybe_mesh(cfg, args):
+    """Build the (data, state) device mesh when distribution is
+    requested: ``--distributed`` plus ``--set mesh.data_axis/state_axis``
+    overrides (the reference's operator story — run the tool, get
+    multi-machine training, ``Controller.py:108-151`` — at the CLI).
+    ``--coordinator/--num-processes/--process-id`` join a multi-host
+    process group first (``ENV_ID`` machine identity, config.ini:26)."""
+    if not getattr(args, "distributed", False):
+        return None
+    from poccala_tpu.parallel import mesh as pmesh
+
+    if getattr(args, "coordinator", None):
+        pmesh.init_multihost(
+            coordinator=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        print(f"joined process group: process {args.process_id}/"
+              f"{args.num_processes}", file=sys.stderr)
+    mesh = pmesh.make_mesh(
+        data_axis=cfg.mesh.data_axis, state_axis=cfg.mesh.state_axis
+    )
+    print(f"mesh: {dict(mesh.shape)}", file=sys.stderr)
+    return mesh
+
+
 def cmd_train(args):
     import jax
     from poccala_tpu.io.corpus import Corpus
@@ -51,11 +77,12 @@ def cmd_train(args):
 
     cfg = _load_config(args)
     inv = _load_inventory(cfg, args)
+    mesh = _maybe_mesh(cfg, args)
     corpus = Corpus(cfg, inv)
     print(f"corpus: {len(corpus.pairs)} utterances, {len(inv)} units",
           file=sys.stderr)
     batches = list(corpus.batches())
-    tr = Trainer(cfg, inv)
+    tr = Trainer(cfg, inv, mesh=mesh)
 
     start_round = 0
     if args.resume and args.checkpoint and os.path.isdir(args.checkpoint):
@@ -72,7 +99,7 @@ def cmd_train(args):
         print(f"round {r}: loglik={lls[0]:.2f}", file=sys.stderr)
         if args.checkpoint:
             ckpt.save_checkpoint(
-                args.checkpoint, tr.bank,
+                args.checkpoint, tr.export_bank(),
                 {"round": r + 1, "mode": args.mode, "mix_level": tr.mix_level},
                 units=inv.units,
             )
@@ -133,7 +160,9 @@ def cmd_decode(args):
         lm.init_gram(args.lm)
     dec = BeamDecoder(bank, flat, beam=args.beam, lm=lm,
                       normalizer=cfg.model.gaussian_normalizer)
+    mesh = _maybe_mesh(cfg, args)
     fe = Frontend(cfg.frontend)
+    packs = []
     for path in args.wavs:
         data, _ = wav_io.load_wav(path)
         sig = wav_io.preprocess_signal(
@@ -144,7 +173,24 @@ def cmd_decode(args):
         else:
             keep = mask
         packed, n = vad_ops.apply_mask(feats, keep)
-        hyps = dec.decode(packed[:n])
+        packs.append((np.asarray(packed), int(n)))
+    if args.decoder == "simple":
+        outs = [dec.decode(p[:n]) for p, n in packs]
+    else:
+        # one batched decode (sharded over the mesh's data axis when
+        # --distributed, device tier only)
+        if mesh is not None and args.decoder != "device":
+            raise SystemExit("--distributed requires --decoder device")
+        t_max = max(n for _, n in packs)
+        feats_b = np.zeros((len(packs), t_max, packs[0][0].shape[1]),
+                           np.float32)
+        nf = np.zeros(len(packs), np.int32)
+        for i, (p, n) in enumerate(packs):
+            feats_b[i, :n] = p[:n]
+            nf[i] = n
+        kwargs = {"mesh": mesh} if mesh is not None else {}
+        outs = dec.decode_batch(feats_b, nf, return_nbest=5, **kwargs)
+    for path, hyps in zip(args.wavs, outs):
         print(json.dumps({
             "wav": path,
             "nbest": [{"words": list(h.words), "score": h.score}
@@ -289,6 +335,17 @@ def build_parser() -> argparse.ArgumentParser:
                                    "(IF/XIF/XIF_tone)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    def add_dist_flags(sp):
+        sp.add_argument("--distributed", action="store_true",
+                        help="run over the (data, state) device mesh from "
+                             "the config (--set mesh.data_axis=4 "
+                             "mesh.state_axis=2)")
+        sp.add_argument("--coordinator",
+                        help="multi-host coordinator address "
+                             "(host:port) for jax.distributed")
+        sp.add_argument("--num-processes", type=int)
+        sp.add_argument("--process-id", type=int)
+
     t = sub.add_parser("train")
     t.add_argument("--mode", type=int, default=2, choices=(1, 2))
     t.add_argument("--epochs", type=int, default=1)
@@ -298,6 +355,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--history")
+    add_dist_flags(t)
     t.set_defaults(fn=cmd_train)
 
     a = sub.add_parser("align")
@@ -315,6 +373,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decoder tier: vectorized host (default), "
                         "on-device scan, or the simple reference path")
     d.add_argument("wavs", nargs="+")
+    add_dist_flags(d)
     d.set_defaults(fn=cmd_decode)
 
     li = sub.add_parser("listen")

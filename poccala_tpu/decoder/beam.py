@@ -64,9 +64,14 @@ class BeamDecoder:
         candidate: int = 10,         # first-word seeds (Decoder.py:63)
         lm=None,
         lm_weight: float = 10.0,
+        word_penalty: float = 0.0,
         normalizer: str = "textbook",
         score_dtype: str = "float32",
     ):
+        """``word_penalty``: fixed log-score cost per emitted word (the
+        standard insertion penalty; counters over-segmentation into
+        short words).  Applied uniformly by every tier at word
+        boundaries together with the LM score."""
         self.bank = bank
         self.lexicon = lexicon
         self.beam = beam
@@ -74,6 +79,7 @@ class BeamDecoder:
         self.candidate = candidate
         self.lm = lm
         self.lm_weight = lm_weight
+        self.word_penalty = float(word_penalty)
         self.normalizer = normalizer
         self.score_dtype = score_dtype
 
@@ -231,9 +237,9 @@ class BeamDecoder:
                 # word boundary (the finished passing_between_word):
                 # close the word, apply the LM, re-enter the tree root
                 for word in self.lexicon.node_words[nid]:
-                    lm_score = 0.0
+                    lm_score = -self.word_penalty
                     if self.lm is not None:
-                        lm_score = self.lm_weight * self.lm.logprob(
+                        lm_score += self.lm_weight * self.lm.logprob(
                             word, list(hist)
                         )
                     new_hist = hist + (word,)
@@ -262,9 +268,9 @@ class BeamDecoder:
             if exits[i] <= NEG_INF / 2:
                 continue
             for word in self.lexicon.node_words[nid]:
-                lm_score = 0.0
+                lm_score = -self.word_penalty
                 if self.lm is not None:
-                    lm_score = self.lm_weight * self.lm.logprob(word, list(hist))
+                    lm_score += self.lm_weight * self.lm.logprob(word, list(hist))
                 finished.append(Hypothesis(
                     score=float(exits[i]) + lm_score,
                     words=hist + (word,),

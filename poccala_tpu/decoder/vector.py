@@ -77,9 +77,12 @@ class VectorBeamDecoder(BeamDecoder):
                 for p in range(v):
                     for q in range(v):
                         bi[p, q] = self.lm.logprob(vocab[q], [vocab[p]])
-            self._lm_tab = self.lm_weight * bi
+            self._lm_tab = self.lm_weight * bi - self.word_penalty
         else:
-            self._lm_tab = np.zeros((v + 1, max(v, 1)))
+            # no LM: the table still carries the per-word insertion
+            # penalty so every tier applies it uniformly
+            self._lm_tab = np.full((v + 1, max(v, 1)),
+                                   -self.word_penalty)
 
     # ------------------------------------------------------------------
     def decode_batch(self, feats: np.ndarray, n_frames: np.ndarray,

@@ -28,6 +28,24 @@ def decode_sharded(decoder, feats, n_frames, mesh, return_nbest: int = 1):
     )
 
 
+def decode_sharded_global(decoder, feats_global, n_frames_global, mesh,
+                          return_nbest: int = 1):
+    """Multi-host distributed decode (BASELINE config 5, N ≥ 2 hosts):
+    run the sharded decode program on **globally sharded** device arrays
+    (built per process with ``parallel.mesh.distribute_batch`` from each
+    host's pathInfo slice, ``Controller.py:79-106``) and return the
+    global ``(seqs [B, C, L], scores [B, C])`` arrays — nothing is
+    fetched, so this is safe when no single process can address the full
+    batch.  Each host converts its addressable rows (or jit-reduces
+    replicated summaries) itself."""
+    decoder._prep_device()
+    t_pad = int(feats_global.shape[1])
+    run = decoder._sharded_run_fn(
+        t_pad, decoder._n_cand(return_nbest), mesh
+    )
+    return run(feats_global, n_frames_global)
+
+
 def _toy_world(seed: int = 0):
     """A tiny trained-by-construction decode world: 6 units whose senone
     means are separable embeddings, 3 words over them."""

@@ -77,6 +77,45 @@ def ckpt_roundtrip(pid: int, nproc: int, shared_dir: str) -> dict:
     }
 
 
+def decode_mode(pid: int, nproc: int) -> dict:
+    """Distributed beam decode across process boundaries (BASELINE
+    config 5, N ≥ 2 hosts): every process contributes its utterance
+    slice, the sharded decode program runs on the global mesh, and
+    replicated jit-reductions summarize the global n-best — values must
+    match the single-process run."""
+    from poccala_tpu.parallel import decode as pdecode
+    from poccala_tpu.parallel import mesh as pmesh
+
+    dec, utt = pdecode._toy_world()  # seed 0: identical on every process
+    mesh = pmesh.make_mesh(data_axis=jax.device_count(), state_axis=1)
+    global_b = 16  # same utterances whether 4 (1-proc) or 8 devices
+    plans = [[0, 1, 2, 3], [4, 5], [0, 1], [4, 5, 0, 1]]
+    t_max = 48
+    feats = np.zeros((global_b, t_max, 8), np.float32)
+    nf = np.zeros((global_b,), np.int32)
+    for i in range(global_b):
+        x = utt(plans[i % len(plans)])
+        feats[i, : len(x)] = x
+        nf[i] = len(x)
+    if nproc > 1:
+        local = slice(pid * (global_b // nproc),
+                      (pid + 1) * (global_b // nproc))
+        f_g, n_g = pmesh.distribute_batch(
+            mesh, (feats[local], nf[local]), global_b
+        )
+    else:
+        f_g, n_g = jnp.asarray(feats), jnp.asarray(nf)
+    seqs, scores = pdecode.decode_sharded_global(dec, f_g, n_g, mesh)
+    best = jax.jit(lambda a: jnp.where(a[:, 0] > -1e29, a[:, 0], 0.0).sum())
+    words = jax.jit(lambda s: (s[:, 0] >= 0).sum())
+    return {
+        "best_scores_sum": float(best(scores)),
+        "best_word_count": int(words(seqs)),
+        "global_devices": jax.device_count(),
+        "global_batch": global_b,
+    }
+
+
 def main():
     pid, nproc, out_path = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     mode = sys.argv[4] if len(sys.argv) > 4 else "estep"
@@ -88,6 +127,11 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if mode == "ckpt":
         result = ckpt_roundtrip(pid, nproc, sys.argv[5])
+        with open(out_path, "w") as f:
+            json.dump(result, f)
+        return
+    if mode == "decode":
+        result = decode_mode(pid, nproc)
         with open(out_path, "w") as f:
             json.dump(result, f)
         return

@@ -45,6 +45,21 @@ class TestMultiHost:
             assert np.isclose(double[0][key], single[key], rtol=1e-4), key
             assert np.isclose(double[1][key], single[key], rtol=1e-4), key
 
+    def test_two_process_distributed_decode(self, tmp_path):
+        """Distributed beam decode across a real process boundary
+        (config 5's 'distributed beam decode, N >= 2 hosts'): global
+        1-best summaries must equal the single-process run."""
+        single = run_workers(1, tmp_path, mode="decode")[0]
+        double = run_workers(2, tmp_path, mode="decode")
+        assert double[0]["global_devices"] == 8
+        # both runs decode the same 16 utterances (seeded identically)
+        for r in double:
+            assert np.isclose(r["best_scores_sum"],
+                              single["best_scores_sum"], rtol=1e-4)
+            assert r["best_word_count"] == single["best_word_count"]
+            # every utterance decodes at least one word
+            assert r["best_word_count"] >= r["global_batch"]
+
     def test_two_process_sharded_checkpoint_roundtrip(self, tmp_path):
         """Both processes write only their shards of a state-sharded
         bank into one orbax checkpoint, then restore it straight onto
