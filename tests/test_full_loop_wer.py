@@ -92,8 +92,9 @@ class TestFullLoopWer:
                 n_frames.append(int(batch.t_masks[i].sum()))
                 idx += 1
         result = evaluate_decoder(dec, utts, n_frames)
-        # separable synthetic units: decoding should be near-perfect
-        assert result.wer <= 0.15, (
+        # separable synthetic units, fixed seeds: decoding is perfect —
+        # any regression in the train/decode pipeline shows up here
+        assert result.wer == 0.0, (
             f"WER {result.wer:.2f} (S={result.substitutions} "
             f"D={result.deletions} I={result.insertions} "
             f"/ {result.ref_tokens})"
