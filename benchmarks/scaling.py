@@ -153,16 +153,66 @@ def main():
         rows.append(row)
         print(row, file=sys.stderr, flush=True)
 
+    # ---- serving: device-tier decode at the reference-scale lexicon
+    # (dense graph Viterbi; end-to-end incl. frontend + host id->word)
+    decode_rows = []
+    try:
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+        from poccala_tpu.io.corpus import UnitInventory
+        from poccala_tpu.lexicon.build import build_reference_lexicon
+
+        cfg = Config()
+        fe = Frontend(cfg.frontend)
+        inv = UnitInventory.standard("XIF_tone")
+        flat, words, _ = build_reference_lexicon(inv)
+        bank = sb.create_bank(len(inv), cfg.model, cfg.frontend.feat_dim,
+                              key=jax.random.PRNGKey(1))
+        dec = DeviceBeamDecoder(bank, flat)
+        rng = np.random.default_rng(0)
+        utt_seconds = 4.0
+        n_samples = int(utt_seconds * cfg.frontend.sample_rate)
+        mfcc = jax.jit(jax.vmap(fe._mfcc_impl))
+        for batch in (128, 512):
+            signals = jnp.asarray(
+                (rng.normal(size=(batch, n_samples)) * 2000)
+                .astype(np.float32))
+            n_samp = jnp.asarray(np.full((batch,), n_samples, np.int64))
+            feats, masks = mfcc(signals, n_samp)
+            nf = np.asarray(masks.sum(axis=1), np.int32)
+            dec.decode_batch(feats, nf)          # warm
+            t0 = time.time()
+            n_it = 3
+            for _ in range(n_it):
+                feats, masks = mfcc(signals, n_samp)
+                nf = np.asarray(masks.sum(axis=1), np.int32)
+                dec.decode_batch(feats, nf)
+            dt = (time.time() - t0) / n_it
+            row = {
+                "config": f"decode_b{batch}",
+                "lexicon_nodes": int(flat.n_nodes),
+                "senones": int(bank.num_states),
+                "batch": batch,
+                "decode_audio_s_per_s": round(batch * utt_seconds / dt, 1),
+                "decode_ms": round(dt * 1000, 1),
+            }
+            decode_rows.append(row)
+            print(row, file=sys.stderr, flush=True)
+    except Exception as e:  # decode rows must not cost the study
+        print(f"decode rows failed: {e}", file=sys.stderr)
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scaling.json")
     with open(out, "w") as f:
-        json.dump(rows, f, indent=2)
+        json.dump({"train": rows, "decode": decode_rows}, f, indent=2)
     print("| config | senones | mix | batch | pipeline audio-s/s | scoring TFLOP/s |")
     print("|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r['config']} | {r['senones']} | {r['mixtures']} "
               f"| {r['batch']} | {r['pipeline_audio_s_per_s']} "
               f"| {r['scoring_tflops']} |")
+    for r in decode_rows:
+        print(f"| {r['config']} | {r['senones']} | — | {r['batch']} "
+              f"| decode {r['decode_audio_s_per_s']} | — |")
 
 
 if __name__ == "__main__":

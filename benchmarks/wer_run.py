@@ -1,0 +1,392 @@
+"""End-to-end WER evaluation on the formant-synthesized proxy corpus.
+
+BASELINE.md's acceptance clause is "WER parity on a held-out Mandarin
+set"; the reference's intended corpora are real recordings (data_24 /
+THCHS-30, ``/root/reference/config.ini:16-22``).  **This environment
+ships no speech corpus and has no network egress** (verified: no WAV
+corpora on disk, THCHS-30 not obtainable), so this run substitutes the
+most realistic obtainable proxy — the coarticulated formant synthesizer
+of :mod:`poccala_tpu.io.synth_formant` — and labels every number
+accordingly.  The pipeline is the real one end to end:
+
+  Mandarin.dat vocabulary → formant-synthesized WAV corpus with
+  THCHS-style ``.trn`` labels (hanzi line + toned-pinyin line) →
+  ``label_format='pinyin'`` Corpus (MFCC+Δ+ΔΔ, VAD) → flat start →
+  embedded Baum-Welch (scheme 2) → Viterbi realignment + per-senone GMM
+  EM with mixture growth (scheme 1) → [optional] k-means state tying
+  (BASELINE config 3) → bigram-LM beam decode of held-out utterances
+  from unseen speakers → WER/SER,
+
+plus per-utterance log-likelihood / Viterbi-path parity of the trained
+sentence HMMs against the *executed reference implementation*
+(``StatisticalModel/LHMM.py``), the ``tests/test_reference_parity.py``
+machinery applied to real trained models.
+
+Writes ``WER_r03.json``.  Run on the TPU chip:  ``python
+benchmarks/wer_run.py``  (a CPU run works too, slower).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def build_vocab(n_words: int, seed: int):
+    """Pronunciation-unique vocabulary from the reference table — unique
+    ignoring tone: homophones are unscorable without context, and MFCC
+    features are largely pitch-blind, so tone-minimal pairs are
+    unresolvable by construction (equally true of the reference's MFCC
+    pipeline); a fair demo vocabulary excludes both."""
+    from poccala_tpu.lexicon.build import DEFAULT_DAT, reference_words
+
+    words, py = reference_words(DEFAULT_DAT, n_single=6000, n_multi=4000,
+                                seed=seed)
+    seen, vocab = set(), []
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(words))
+    for i in order:
+        w = words[i]
+        p = py.word2pinyin(w)
+        if p is None:
+            continue
+        pron = tuple(r[0].rstrip("0123456789") for r in p)
+        if pron in seen:
+            continue
+        seen.add(pron)
+        vocab.append(w)
+        if len(vocab) >= n_words:
+            break
+    return vocab, py
+
+
+def densify_band(band: np.ndarray) -> np.ndarray:
+    """Banded sentence transmat -> dense linear-domain [N, N] for the
+    reference LHMM (which takes probabilities, not logs)."""
+    n_s, w = band.shape
+    a = np.full((n_s, n_s), -np.inf)
+    for k in range(w):
+        idx = np.arange(n_s - k)
+        a[idx, idx + k] = band[idx, k]
+    return np.exp(np.maximum(a, -700))
+
+
+def parity_check(bank, batch, cfg, n_utts: int = 5):
+    """Per-utterance log-lik + Viterbi-path parity: our scan kernels vs
+    the executed reference LHMM on the trained sentence HMMs."""
+    ref_root = "/root/reference"
+    if not os.path.isdir(os.path.join(ref_root, "StatisticalModel")):
+        return {"available": False}
+    sys.path.insert(0, ref_root)
+    from StatisticalModel import util as ref_util
+    from StatisticalModel.LHMM import LHMM as RefLHMM
+
+    import jax.numpy as jnp
+
+    from poccala_tpu.models import topology
+    from poccala_tpu.ops import gmm_score, hmm
+    from poccala_tpu.utils.logmath import NEG_INF
+
+    class _Log:
+        def note(self, *a, **k):
+            pass
+
+    max_ll_diff = 0.0
+    paths_equal = 0
+    lls = []
+    n_done = 0
+    for u in range(min(n_utts, len(batch.feats))):
+        t_n = int(batch.t_masks[u].sum())
+        l_n = int(batch.label_lens[u])
+        if t_n < 4 or l_n < 1:
+            continue
+        ehmm = topology.build_embedded(
+            bank, jnp.asarray(batch.labels[u]), jnp.asarray(l_n),
+            cfg.model.state_num, cfg.train.max_label_len,
+        )
+        scores = gmm_score.gmm_log_scores(
+            jnp.asarray(batch.feats[u, :t_n]), bank.means, bank.log_var,
+            bank.log_w, normalizer=cfg.model.gaussian_normalizer,
+        )
+        log_b = np.asarray(topology.embedded_log_b(scores, ehmm))
+        n_s = int(ehmm.n_states)
+        band = np.asarray(ehmm.band)[:n_s]
+        log_pi = np.asarray(ehmm.log_pi)[:n_s]
+        prob = log_b[:, :n_s].T                      # [N, T] log domain
+        a_lin = densify_band(band)[:n_s, :n_s]
+
+        # ---- ours (the production scan kernels)
+        la, ll_ours = hmm.forward_log(
+            jnp.asarray(np.where(a_lin > 0, np.log(np.maximum(a_lin, 1e-300)),
+                                 NEG_INF)),
+            jnp.asarray(log_pi), jnp.asarray(prob.T.astype(np.float32)),
+            jnp.ones(t_n, bool),
+        )
+        sc_ours, path_ours, _ = hmm.viterbi_log(
+            jnp.asarray(np.where(a_lin > 0, np.log(np.maximum(a_lin, 1e-300)),
+                                 NEG_INF)),
+            jnp.asarray(log_pi), jnp.asarray(prob.T.astype(np.float32)),
+            jnp.ones(t_n, bool),
+        )
+
+        # ---- the reference, executed
+        states = {i: i for i in range(n_s)}
+        ref = RefLHMM(states, n_s, _Log(), t=[t_n], transmat=a_lin,
+                      probmat=[prob], pi=np.exp(log_pi))
+        ref.add_data([np.zeros((t_n, 1))])
+        ref._LHMM__generate_result()
+        ref_ll = ref_util.log_sum_exp(ref._LHMM__result_f[0][:, -1])
+        _, ref_path = RefLHMM.viterbi(_Log(), states, a_lin, prob,
+                                      np.exp(log_pi))
+
+        diff = abs(float(ll_ours) - float(ref_ll))
+        max_ll_diff = max(max_ll_diff, diff / max(abs(float(ref_ll)), 1.0))
+        paths_equal += int(np.array_equal(
+            np.asarray(path_ours), ref_path.astype(int)))
+        lls.append(float(ll_ours))
+        n_done += 1
+    return {
+        "available": True,
+        "n_utts": n_done,
+        "max_rel_loglik_diff": max_ll_diff,
+        "viterbi_paths_identical": paths_equal,
+        "logliks": lls,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="WER_r03.json")
+    ap.add_argument("--workdir", default="/tmp/wer_proxy")
+    ap.add_argument("--vocab", type=int, default=300)
+    ap.add_argument("--train-utts", type=int, default=1200)
+    ap.add_argument("--test-utts", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lm-weight", type=float, default=6.0)
+    ap.add_argument("--tie", action="store_true", default=True)
+    ap.add_argument("--no-tie", dest="tie", action="store_false")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_poccala"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from poccala_tpu.config import Config
+    from poccala_tpu.decoder.device import DeviceBeamDecoder
+    from poccala_tpu.eval.wer import wer as wer_fn
+    from poccala_tpu.io.corpus import (Corpus, UnitInventory, scan_corpus,
+                                       standard_inventory)
+    from poccala_tpu.io.synth_formant import generate_formant_corpus
+    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
+    from poccala_tpu.lm import Ngram
+    from poccala_tpu.train.trainer import Trainer
+
+    t_start = time.time()
+    vocab, py = build_vocab(args.vocab, args.seed)
+    log(f"vocabulary: {len(vocab)} pronunciation-unique words")
+
+    # ---- corpora: unseen speakers for the held-out set
+    train_dir = os.path.join(args.workdir, "train")
+    test_dir = os.path.join(args.workdir, "test")
+    t0 = time.time()
+    a_tr, l_tr, trans_tr = generate_formant_corpus(
+        train_dir, vocab, py, num_utts=args.train_utts, n_speakers=8,
+        seed=args.seed + 11, sil_token="sil",
+    )
+    a_te, l_te, trans_te = generate_formant_corpus(
+        test_dir, vocab, py, num_utts=args.test_utts, n_speakers=3,
+        seed=args.seed + 97, sil_token="sil",
+    )
+    log(f"synthesized {args.train_utts}+{args.test_utts} utts "
+        f"in {time.time()-t0:.0f}s")
+
+    # ---- config (BASELINE config-2 shape on XIF_tone units)
+    cfg = Config()
+    cfg.model.state_num = 5
+    cfg.model.mix_level = 2
+    cfg.model.max_mix_level = 6
+    cfg.train.label_format = "pinyin"
+    cfg.train.load_line = 1
+    cfg.train.max_frames = 512
+    cfg.train.max_label_len = 32
+    cfg.train.batch_size = 64
+    cfg.paths.audio_file_path = a_tr
+    cfg.paths.label_file_path = l_tr
+    # XIF_tone plus an explicit silence unit: the reference VAD's
+    # adaptive threshold (reproduced quirks included) keeps most of the
+    # lead/trail/pause silence on this corpus, so silence is modeled
+    # like any other unit and decoded as a strippable <sil> filler —
+    # standard LVCSR practice
+    inv = UnitInventory(standard_inventory("XIF_tone") + ["sil"])
+
+    corpus = Corpus(cfg, inv)
+    t0 = time.time()
+    batches = list(corpus.batches())
+    n_train = sum(len(b.feats) for b in batches)
+    log(f"featurized {n_train} train utts in {time.time()-t0:.0f}s")
+
+    # ---- train: scheme 2 (flat start + embedded BW), then scheme 1
+    # rounds with mixture growth (Controller.py:208-213 schedule, wider)
+    tr = Trainer(cfg, inv)
+    t0 = time.time()
+    tr.auto(batches, t=5, mode=2)
+    tr.auto(batches, t=4, mode=1, add_mix=True)
+    tr.auto(batches, t=3, mode=2, init=False)
+    log(f"trained in {time.time()-t0:.0f}s; "
+        f"final loglik/utt={tr.history[-1]['loglik']/max(n_train,1):.1f}")
+    bank = tr.export_bank()
+
+    from poccala_tpu.train import checkpoint as ckpt_mod
+    ckpt_mod.save_checkpoint(os.path.join(args.workdir, "ckpt"), bank,
+                             {"mix_level": tr.mix_level}, units=inv.units)
+
+    tied_info = None
+    if args.tie:
+        from poccala_tpu.models import tying
+
+        target = int(bank.num_states * 0.6)
+        t0 = time.time()
+        tied = tying.tie_by_kmeans(bank, target_senones=target)
+        tr.bank = tied
+        tr.auto(batches, t=2, mode=2, init=False)
+        bank = tr.export_bank()
+        tied_info = {"senones": int(bank.num_states), "target": target,
+                     "seconds": round(time.time() - t0, 1)}
+        log(f"tied to {bank.num_states} senones (config 3), retrained")
+
+    # ---- decode held-out set
+    lex = PronunciationLexicon()
+    lex.generate(vocab, py)
+    # silence filler word over the trained sil unit (two-unit node)
+    lex.lexicon.setdefault("sil", {}).setdefault("sil,sil", {})["word"] = \
+        ["<sil>"]
+    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    lm = Ngram(2)
+    lm.train([words for _, words in trans_tr])
+    log(f"lexicon: {flat.n_nodes} nodes / {len(vocab)} words")
+
+    # LM-weight sweep on a train-set dev slice (standard practice: the
+    # held-out set stays untouched until the final decode)
+    dev = batches[0]
+    dev_nf = dev.t_masks.sum(axis=1).astype(np.int32)
+    dev_refs = [words for _, words in trans_tr[: len(dev.feats)]]
+    best_w, best_pen, best_wer = args.lm_weight, 0.0, None
+    for w in (12.0, 20.0, 28.0):
+        for pen in (20.0, 40.0, 60.0, 80.0):
+            d = DeviceBeamDecoder(bank, flat, lm=lm, lm_weight=w,
+                                  word_penalty=pen)
+            out = d.decode_batch(dev.feats, dev_nf)
+            hy = [[x for x in h[0].words if x != "<sil>"] if h else []
+                  for h in out]
+            r = wer_fn(dev_refs, hy)
+            log(f"  sweep: lm_weight={w} word_penalty={pen} "
+                f"dev WER={r.wer:.3f}")
+            if best_wer is None or r.wer < best_wer:
+                best_w, best_pen, best_wer = w, pen, r.wer
+    log(f"sweep picked lm_weight={best_w} word_penalty={best_pen} "
+        f"(dev WER={best_wer:.3f})")
+    dec = DeviceBeamDecoder(bank, flat, lm=lm, lm_weight=best_w,
+                            word_penalty=best_pen)
+
+    test_pairs = scan_corpus(a_te, l_te)
+    test_corpus = Corpus(cfg, inv, pairs=test_pairs)
+    truth_of = dict(trans_te)
+
+    # batched featurization (native WAV loader + one fixed-shape device
+    # frontend program); refs follow the pairs order — every pair must
+    # survive (labels round-trip by construction), asserted below
+    t0 = time.time()
+    feats_l, nf_l = [], []
+    for batch in test_corpus.batches():
+        nf_b = batch.t_masks.sum(axis=1).astype(np.int32)
+        feats_l.append(batch.feats)
+        nf_l.append(nf_b)
+    feats = np.concatenate(feats_l)
+    nf = np.concatenate(nf_l)
+    refs = [truth_of[os.path.basename(w)[: -len(".wav")]]
+            for w, _ in test_pairs]
+    assert len(refs) == len(feats), (len(refs), len(feats))
+    audio_seconds = float(nf.sum()) * 0.01
+    feat_s = time.time() - t0
+
+    t0 = time.time()
+    hyps = []
+    for lo in range(0, len(feats), 128):
+        out = dec.decode_batch(feats[lo: lo + 128], nf[lo: lo + 128])
+        hyps.extend(
+            [w for w in h[0].words if w != "<sil>"] if h else []
+            for h in out
+        )
+    decode_s = time.time() - t0
+    res = wer_fn(refs, hyps)
+    log(f"decoded {len(hyps)} utts ({audio_seconds:.0f} audio-s) "
+        f"in {decode_s:.0f}s (+{feat_s:.0f}s frontend)")
+    log(f"WER={res.wer:.3f} SER={res.ser:.3f}")
+
+    parity = parity_check(bank, batches[0], cfg)
+    log(f"parity: {parity}")
+
+    artifact = {
+        "artifact": "WER_r03",
+        "corpus": "formant-synthesized Mandarin proxy (coarticulated "
+                  "source-filter synthesis, 8 train / 3 unseen test "
+                  "speakers)",
+        "proxy_disclosure": (
+            "NOT real speech. This environment has zero network egress "
+            "and ships no speech corpus (no THCHS-30 / data_24 on disk), "
+            "so the BASELINE 'WER parity on held-out Mandarin' clause is "
+            "evidenced on the closest obtainable proxy: formant-"
+            "synthesized coarticulated Mandarin with tone contours and "
+            "speaker variation (poccala_tpu/io/synth_formant.py). All "
+            "other pipeline stages are the production ones."
+        ),
+        "vocab_words": len(vocab),
+        "train_utts": n_train,
+        "test_utts": len(hyps),
+        "test_audio_seconds": round(audio_seconds, 1),
+        "unit_inventory": "XIF_tone + sil",
+        "senones": int(bank.num_states),
+        "mix_level": int(tr.mix_level),
+        "tied": tied_info,
+        "lexicon_nodes": int(flat.n_nodes),
+        "lm": "bigram (interpolated, trained on train transcripts)",
+        "lm_weight": best_w,
+        "word_penalty": best_pen,
+        "lm_dev_wer": round(best_wer, 4),
+        "wer": round(res.wer, 4),
+        "ser": round(res.ser, 4),
+        "substitutions": res.substitutions,
+        "deletions": res.deletions,
+        "insertions": res.insertions,
+        "ref_tokens": res.ref_tokens,
+        "decode_seconds": round(decode_s, 1),
+        "samples": [{"ref": r, "hyp": h}
+                    for r, h in list(zip(refs, hyps))[:10]],
+        "reference_parity": parity,
+        "train_history": tr.history,
+        "wall_seconds": round(time.time() - t_start, 1),
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1, ensure_ascii=False)
+    print(json.dumps({"metric": "wer_proxy", "value": res.wer,
+                      "ser": res.ser, "test_utts": len(hyps)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -174,11 +174,17 @@ class Corpus:
 
     def _encode_label(self, names: list[str]) -> list[int]:
         """Label tokens -> unit ids, converting pinyin syllables to
-        units first in 'pinyin' label format (THCHS-30 style)."""
+        units first in 'pinyin' label format (THCHS-30 style).  A token
+        that already names a unit passes through unconverted — this is
+        how non-phonetic units (e.g. a trained ``sil`` silence model)
+        appear in pinyin transcripts."""
         if self._pinyin is not None:
             units: list[str] = []
             for syl in names:
-                units.extend(self._pinyin.syllable_to_units(syl))
+                if syl in self.inventory.id_of:
+                    units.append(syl)
+                else:
+                    units.extend(self._pinyin.syllable_to_units(syl))
             names = units
         return self.inventory.encode(names)
 
