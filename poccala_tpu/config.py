@@ -114,14 +114,15 @@ class ModelConfig:
     # until dloglik <= 0.64 (LHMM.py:539).
     count_final_exit: bool = True
     bw_inner_iters: int = 1
-    # GMM-scoring matmul operand dtype: 'float32' (default) or
-    # 'bfloat16' — bf16 matmul operands (centered) with fp32
-    # accumulation.  Halves the parameter-side HBM traffic; measured
-    # scoring-rate gain at current bank shapes is nil (the D=39
-    # contraction is not MXU-bound, and XLA's default fp32 matmul
-    # already runs single-pass bf16 on TPU) — see
-    # benchmarks/bf16_study.json.  Accuracy budget (<0.1-nat mean score
-    # drift, <1e-3 Viterbi path flips): tests/test_bf16_scoring.py.
+    # GMM-scoring matmul operand dtype.  'float32' (default): fp32
+    # operands with HIGHEST-precision dots (correctness requirement —
+    # TPU f32 dots otherwise run one bf16 pass, catastrophic with
+    # floor-level 1/σ² coefficients; see ops/gmm_score.py).
+    # 'bfloat16': centered bf16 operands, one MXU pass — measured
+    # 1.9-2.0x scoring TFLOP/s vs the f32 path at config-3/4 shapes
+    # with 0.007-nat mean drift and zero Viterbi flips
+    # (benchmarks/bf16_study.json); the whole-pipeline gain is small
+    # because scoring is not the EM bottleneck at these scales.
     score_dtype: str = "float32"
 
     @property

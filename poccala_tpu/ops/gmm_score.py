@@ -44,16 +44,20 @@ def gmm_component_logpdf(
     :param log_var: ``[S, M, D]`` log diagonal variances
     :param normalizer: 'textbook' (``-0.5Σ log σ²``) or 'reference'
         (``-0.5Σ σ²``, reproducing ``util.py:29``)
-    :param score_dtype: 'float32' (fp32 operand storage, default matmul
-        precision) or 'bfloat16' — bf16 matmul operands with fp32 MXU
-        accumulation (halves the parameter-side HBM traffic; compute
-        rate is unchanged at D=39 since the contraction is not
-        MXU-bound — benchmarks/bf16_study.json).  The bf16 path centers
-        frames and means by the frame/bank-mean midpoint (the
-        Mahalanobis form is shift-invariant), which keeps the
-        ``x²``/``μ²`` operands small so bf16's 8-bit mantissa costs
-        <0.1 nat mean score drift instead of ~1.7 nats uncentered
-        (budget pinned in tests/test_bf16_scoring.py).
+    :param score_dtype: 'float32' (default) — fp32 operands with
+        ``precision=HIGHEST`` dots, required for correctness: TPU f32
+        dots otherwise run one bf16 MXU pass whose error the
+        ``1/σ²``-scaled cancellation amplifies into huge score errors on
+        floor-variance senones.  'bfloat16' — centered bf16 operands
+        with one MXU pass and fp32 accumulation: **1.9–2.0× scoring
+        TFLOP/s vs the HIGHEST-precision f32 path** at config-3/4
+        shapes, with 0.007-nat mean / 0.09-nat max score drift and zero
+        Viterbi path flips on trained banks (benchmarks/bf16_study.json,
+        re-measured after the precision fix).  The centering (frames and
+        means shifted by the frame mean; the Mahalanobis form is
+        shift-invariant) is what keeps the ``x²``/``μ²`` operands small
+        enough for bf16's 8-bit mantissa — uncentered drift is an order
+        of magnitude larger (pinned in tests/test_bf16_scoring.py).
     :returns: ``[T, S, M]`` log N(x_t | μ_sm, σ²_sm)
     """
     s, m, d = means.shape
