@@ -91,11 +91,27 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         import jax.numpy as jnp
 
         self._prep_tables()
-        self._j_bands = jnp.asarray(self._bands)          # [N, Ns, W]
+        # trim the band table to the widest transition that actually
+        # exists: the reference 5-state left-to-right topology only has
+        # self-loops and +1 steps (``AcousticModel.init_unit``,
+        # ``AcousticModel.py:176-181``), so W shrinks 5 -> 2 and the
+        # per-frame band loop halves
+        bands = self._bands
+        live = np.any(bands > NEG_INF / 2, axis=(0, 1))    # [W]
+        w_eff = int(max(2, np.max(np.nonzero(live)[0], initial=1) + 1))
+        self._j_bands = jnp.asarray(bands[:, :, :w_eff])  # [N, Ns, W_eff]
         self._j_senone = jnp.asarray(self._senone)        # [N, Ns]
         self._j_word = jnp.asarray(self._word_tab)        # [N, Wt]
-        self._j_lm = jnp.asarray(self._lm_tab, jnp.float32)  # [V+1, V]
-        self._j_lm_flat = self._j_lm.reshape(-1)
+        self._n_vocab = len(self._vocab)
+        if self.lm is not None:
+            self._j_lm = jnp.asarray(self._lm_tab, jnp.float32)  # [V+1, V]
+            self._j_lm_flat = self._j_lm.reshape(-1)
+        else:
+            # no LM: word score = constant insertion penalty; a dense
+            # [V+1, V] table would be 5.8 GB at the full 38k-word
+            # Mandarin.dat vocabulary
+            self._j_lm = None
+            self._j_lm_flat = None
         # word-emission slots: the static (node, word) pairs — TPU
         # gathers with static indices are fast, dynamic point gathers
         # scalarize, so emissions are computed per-slot
@@ -216,10 +232,13 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         slot_valid = self._j_slot_valid
         parent, is_rc = self._j_parent, self._j_is_root_child
         n_nodes, n_s, w_band = bands.shape
-        v = self._j_lm.shape[1]
+        v = self._n_vocab
         vp1 = v + 1
+        word_pen = float(self.word_penalty)
         q = node_slot.shape[0]
-        r_top = int(min(q, 16))
+        # with no LM the two-phase emission reduces exactly to a single
+        # argmax (adding zero preserves the ranking) — skip the top-k
+        r_top = 1 if self.lm is None else int(min(q, 16))
         ctx_dead = jnp.int32(v)  # pack(h=-1, l=v)
 
         def exit_of(deltas, ctx):
@@ -245,9 +264,12 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             ac = jnp.where(slot_valid & (ex_q > NEG_INF / 2), ex_q, NEG_INF)
             r_sc, r_ix = jax.lax.top_k(ac, r_top)         # [R]
             w_r = word_slot[r_ix]
-            l_r = ctx_q[r_ix] % vp1
-            lm_r = lm_flat[jnp.clip(l_r, 0, None) * v
-                           + jnp.clip(w_r, 0, v - 1)]
+            if lm_flat is None:
+                lm_r = -word_pen
+            else:
+                l_r = ctx_q[r_ix] % vp1
+                lm_r = lm_flat[jnp.clip(l_r, 0, None) * v
+                               + jnp.clip(w_r, 0, v - 1)]
             tot = jnp.where(r_sc > NEG_INF / 2, r_sc + lm_r, NEG_INF)
             rb = jnp.argmax(tot)
             e_score = tot[rb]
@@ -326,8 +348,9 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         lm_flat = self._j_lm_flat
         node_slot, word_slot = self._j_node_slot, self._j_word_slot
         slot_valid = self._j_slot_valid
-        v = self._j_lm.shape[1]
+        v = self._n_vocab
         vp1 = v + 1
+        word_pen = float(self.word_penalty)
         q = node_slot.shape[0]
         l_max = self.max_words
         n_cand = min(n_cand, int(q))
@@ -343,8 +366,11 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             r_sc, r_ix = jax.lax.top_k(ac, r_fin)
             w_r = word_slot[r_ix]
             c_r = ctx_q[r_ix]
-            lm_r = lm_flat[jnp.clip(c_r % vp1, 0, None) * v
-                           + jnp.clip(w_r, 0, v - 1)]
+            if lm_flat is None:
+                lm_r = -word_pen
+            else:
+                lm_r = lm_flat[jnp.clip(c_r % vp1, 0, None) * v
+                               + jnp.clip(w_r, 0, v - 1)]
             tot = jnp.where(r_sc > NEG_INF / 2, r_sc + lm_r, NEG_INF)
             scores, c_ix = jax.lax.top_k(tot, n_cand)
             last_words = w_r[c_ix]                          # [C]
@@ -390,8 +416,11 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             def one_utt(scores_u, n_frames_u):
                 tis = jnp.arange(t_pad, dtype=jnp.int32)
                 actives = tis < n_frames_u
+                # unroll=2: large lexicons are bandwidth-bound on the
+                # [N, Ns] carry; two fused body copies halve the
+                # per-frame carry round trips through HBM
                 carry, (tbp, tbw) = jax.lax.scan(
-                    step, seed(), (scores_u, tis, actives)
+                    step, seed(), (scores_u, tis, actives), unroll=2
                 )
                 return finalize(carry, tbp, tbw)
 

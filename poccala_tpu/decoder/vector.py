@@ -79,10 +79,18 @@ class VectorBeamDecoder(BeamDecoder):
                         bi[p, q] = self.lm.logprob(vocab[q], [vocab[p]])
             self._lm_tab = self.lm_weight * bi - self.word_penalty
         else:
-            # no LM: the table still carries the per-word insertion
-            # penalty so every tier applies it uniformly
-            self._lm_tab = np.full((v + 1, max(v, 1)),
-                                   -self.word_penalty)
+            # no LM: the word score is the constant insertion penalty —
+            # never materialize a [V+1, V] table (5.8 GB at the full
+            # 38k-word Mandarin.dat vocabulary)
+            self._lm_tab = None
+
+    def _lm_lookup(self, last_word, words):
+        """Word-boundary score: LM table gather, or the constant
+        insertion penalty when no LM is attached."""
+        if self._lm_tab is None:
+            return np.full(np.broadcast(last_word, words).shape,
+                           -self.word_penalty)
+        return self._lm_tab[last_word, words]
 
     # ------------------------------------------------------------------
     def decode_batch(self, feats: np.ndarray, n_frames: np.ndarray,
@@ -152,7 +160,7 @@ class VectorBeamDecoder(BeamDecoder):
                 if okw.any():
                     srcw = srcw[okw]
                     words = w_flat[okw]
-                    lm = self._lm_tab[last_word[srcw], words]
+                    lm = self._lm_lookup(last_word[srcw], words)
                     base = exits[srcw] + lm
                     # new traceback entries
                     ptrs = np.arange(len(tb_prev),
@@ -225,7 +233,7 @@ class VectorBeamDecoder(BeamDecoder):
             for w_id in self._word_tab[nodes[i]]:
                 if w_id < 0:
                     continue
-                lm = self._lm_tab[last_word[i], w_id]
+                lm = self._lm_lookup(last_word[i], w_id)
                 seq = words_of(hist[i]) + (self._vocab[w_id],)
                 score = float(exits[i]) + float(lm)
                 d = best[utt[i]]
