@@ -43,12 +43,16 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_vocab(n_words: int, seed: int):
-    """Pronunciation-unique vocabulary from the reference table — unique
-    ignoring tone: homophones are unscorable without context, and MFCC
-    features are largely pitch-blind, so tone-minimal pairs are
-    unresolvable by construction (equally true of the reference's MFCC
-    pipeline); a fair demo vocabulary excludes both."""
+def build_vocab(n_words: int, seed: int, with_tone: bool = False):
+    """Pronunciation-unique vocabulary from the reference table.
+
+    ``with_tone=False`` (MFCC-only runs): unique ignoring tone —
+    homophones are unscorable without context, and MFCC features are
+    largely pitch-blind, so tone-minimal pairs are unresolvable by
+    construction (equally true of the reference's MFCC pipeline).
+    ``with_tone=True`` (pitch-feature runs): unique including tone, so
+    tone-minimal pairs ARE in the vocabulary and must be resolved by the
+    F0 feature column."""
     from poccala_tpu.lexicon.build import DEFAULT_DAT, reference_words
 
     words, py = reference_words(DEFAULT_DAT, n_single=6000, n_multi=4000,
@@ -61,7 +65,8 @@ def build_vocab(n_words: int, seed: int):
         p = py.word2pinyin(w)
         if p is None:
             continue
-        pron = tuple(r[0].rstrip("0123456789") for r in p)
+        pron = (tuple(r[0] for r in p) if with_tone else
+                tuple(r[0].rstrip("0123456789") for r in p))
         if pron in seen:
             continue
         seen.add(pron)
@@ -176,6 +181,9 @@ def main():
     ap.add_argument("--lm-weight", type=float, default=6.0)
     ap.add_argument("--tie", action="store_true", default=True)
     ap.add_argument("--no-tie", dest="tie", action="store_false")
+    ap.add_argument("--pitch", action="store_true",
+                    help="enable the F0 feature column and a "
+                         "tone-inclusive (tone-unique) vocabulary")
     args = ap.parse_args()
 
     import jax
@@ -198,7 +206,7 @@ def main():
     from poccala_tpu.train.trainer import Trainer
 
     t_start = time.time()
-    vocab, py = build_vocab(args.vocab, args.seed)
+    vocab, py = build_vocab(args.vocab, args.seed, with_tone=args.pitch)
     log(f"vocabulary: {len(vocab)} pronunciation-unique words")
 
     # ---- corpora: unseen speakers for the held-out set
@@ -221,6 +229,7 @@ def main():
     cfg.model.state_num = 5
     cfg.model.mix_level = 2
     cfg.model.max_mix_level = 6
+    cfg.frontend.pitch = bool(args.pitch)
     cfg.train.label_format = "pinyin"
     cfg.train.load_line = 1
     cfg.train.max_frames = 512
@@ -361,6 +370,10 @@ def main():
         "test_utts": len(hyps),
         "test_audio_seconds": round(audio_seconds, 1),
         "unit_inventory": "XIF_tone + sil",
+        "pitch_feature": bool(args.pitch),
+        "vocab_uniqueness": ("pronunciation-unique incl. tone"
+                             if args.pitch else
+                             "pronunciation-unique ignoring tone"),
         "senones": int(bank.num_states),
         "mix_level": int(tr.mix_level),
         "tied": tied_info,

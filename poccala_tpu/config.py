@@ -70,6 +70,16 @@ class FrontendConfig:
     vad_sample_size: int = 16       # noise estimated from first 16 frames
     vad_alpha: float = 0.5          # noise EMA
     vad_beta: float = 0.93          # OSF quantile
+    # Optional pitch (F0) feature column — a capability the reference
+    # lacks: MFCC is pitch-blind, so Mandarin tone contrasts are
+    # unmodelable without it.  Autocorrelation F0 per frame, encoded as
+    # voiced-gated scaled log2(f0/125 Hz); gets Δ/ΔΔ like the cepstra
+    # (the deltas carry the tone contour slopes).
+    pitch: bool = False
+    pitch_low_hz: float = 60.0
+    pitch_high_hz: float = 400.0
+    pitch_voicing: float = 0.35     # normalized-autocorr voicing gate
+    pitch_scale: float = 5.0        # match cepstral feature magnitudes
 
     @property
     def frame_size(self) -> int:
@@ -82,7 +92,7 @@ class FrontendConfig:
     @property
     def feat_dim(self) -> int:
         """Total feature dimension (AcousticModel.py:84-88)."""
-        d = self.dct_num
+        d = self.dct_num + (1 if self.pitch else 0)
         if self.delta_2:
             return d * 3
         if self.delta_1:

@@ -231,7 +231,37 @@ class Frontend:
         # c0 <- log frame energy (AudioProcessing.py:437-438)
         if cfg.energy_c0:
             ceps = ceps.at[:, 0].set(jnp.log(jnp.maximum(energy, _LOG_EPS)))
+
+        # optional pitch column (capability beyond the reference: MFCC is
+        # pitch-blind, Mandarin tones need F0)
+        if cfg.pitch:
+            ceps = jnp.concatenate(
+                [ceps, self._pitch(frames)[:, None]], axis=-1)
         return ceps
+
+    def _pitch(self, frames: jax.Array) -> jax.Array:
+        """Per-frame F0 feature: autocorrelation peak in the
+        [pitch_low_hz, pitch_high_hz] lag band, normalized by the
+        zero-lag energy; voiced frames emit
+        ``pitch_scale · log2(f0 / 125 Hz)``, unvoiced frames 0."""
+        cfg = self.cfg
+        fs = self.frame_size
+        nfft_ac = 1
+        while nfft_ac < 2 * fs:
+            nfft_ac *= 2
+        spec2 = jnp.abs(jnp.fft.rfft(frames, n=nfft_ac, axis=-1)) ** 2
+        ac = jnp.fft.irfft(spec2, n=nfft_ac, axis=-1)[:, :fs]  # [T, fs]
+        lag_min = max(2, int(cfg.sample_rate / cfg.pitch_high_hz))
+        lag_max = min(fs - 1, int(cfg.sample_rate / cfg.pitch_low_hz))
+        band = ac[:, lag_min: lag_max + 1]
+        norm = jnp.maximum(ac[:, 0:1], _LOG_EPS)
+        ratio = band / norm
+        best = jnp.argmax(ratio, axis=-1)
+        peak = jnp.take_along_axis(ratio, best[:, None], axis=-1)[:, 0]
+        f0 = cfg.sample_rate / (best + lag_min).astype(jnp.float32)
+        voiced = peak > cfg.pitch_voicing
+        return jnp.where(
+            voiced, cfg.pitch_scale * jnp.log2(f0 / 125.0), 0.0)
 
     def _post(self, ceps: jax.Array, t_true: jax.Array,
               mask: jax.Array) -> jax.Array:
@@ -271,6 +301,10 @@ class Frontend:
             return False
         if not cfg.use_pallas:
             return False
+        if cfg.pitch:
+            raise ValueError(
+                "use_pallas does not support the pitch feature column; "
+                "use the XLA path (use_pallas=None)")
         if not (cfg.matmul_dft and cfg.frame_size == 2 * cfg.frame_step):
             raise ValueError(
                 "use_pallas requires matmul_dft and 50% frame overlap "
