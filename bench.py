@@ -13,10 +13,11 @@ every iteration's outputs.
 
 Prints the headline JSON line first:
     {"metric": "train_em_plus_viterbi_audio_throughput", ...}
-then a second JSON line for the serving path — device-tier beam decode
-(frontend + GMM scoring + on-device token-passing scan + host
-backtrace) over a real-scale lexicon built from the built-in
-hanzi→pinyin table (hundreds of words, >200 tree nodes), batch ≥ 64:
+then a second JSON line for the serving path — device-tier decode
+(frontend + one jitted program: GMM scoring + dense graph-Viterbi scan
++ on-device n-best extraction) over the reference-scale lexicon built
+from the actual 25,569-entry Mandarin.dat (thousands of words and tree
+nodes), batch 256:
     {"metric": "decode_audio_throughput", ...}
 vs_baseline is value / 100 — the reference publishes no numbers
 (BASELINE.md), so the yardstick is its north-star target of 100x
