@@ -103,15 +103,25 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         self._j_senone = jnp.asarray(self._senone)        # [N, Ns]
         self._j_word = jnp.asarray(self._word_tab)        # [N, Wt]
         self._n_vocab = len(self._vocab)
-        if self.lm is not None:
-            self._j_lm = jnp.asarray(self._lm_tab, jnp.float32)  # [V+1, V]
-            self._j_lm_flat = self._j_lm.reshape(-1)
-        else:
-            # no LM: word score = constant insertion penalty; a dense
-            # [V+1, V] table would be 5.8 GB at the full 38k-word
-            # Mandarin.dat vocabulary
-            self._j_lm = None
-            self._j_lm_flat = None
+        # LM on device: sparse (sorted bigram keys + unigram/backoff
+        # vectors) for Ngram-style LMs — full-vocabulary decode with a
+        # dense [V+1, V] table would need 5.8 GB at 37.5k words; dense
+        # flat only for foreign LM objects; none -> constant penalty
+        self._j_lm_sparse = None
+        self._j_lm_flat = None
+        if self._lm_sparse is not None:
+            uni, base, keys, vals = self._lm_sparse
+            v = self._n_vocab
+            if (v + 1) * v >= 2**31:
+                raise ValueError(
+                    f"sparse device LM keys overflow int32 at V={v}")
+            self._j_lm_sparse = (
+                jnp.asarray(uni), jnp.asarray(base),
+                jnp.asarray(keys.astype(np.int32)), jnp.asarray(vals),
+            )
+        elif self._lm_tab is not None:
+            self._j_lm_flat = jnp.asarray(
+                self._lm_tab, jnp.float32).reshape(-1)
         # word-emission slots: the static (node, word) pairs — TPU
         # gathers with static indices are fast, dynamic point gathers
         # scalarize, so emissions are computed per-slot
@@ -207,6 +217,40 @@ class DeviceBeamDecoder(VectorBeamDecoder):
     # program builders
     # ------------------------------------------------------------------
 
+    def _build_lm_fn(self):
+        """Word-boundary score function ``(lm_context, word_id) -> f32``
+        for traced code: sparse searchsorted lookup, dense flat gather,
+        or the constant insertion penalty.  ``lm_context == V`` means
+        no-previous-word (unigram row)."""
+        import jax.numpy as jnp
+
+        v = self._n_vocab
+        pen = float(self.word_penalty)
+        if self._j_lm_sparse is not None:
+            uni, base, keys, vals = self._j_lm_sparse
+            nb = keys.shape[0]
+
+            def f(l_r, w_r):
+                w_c = jnp.clip(w_r, 0, v - 1)
+                kq = jnp.clip(l_r, 0, v) * v + w_c
+                idx = jnp.searchsorted(keys, kq)
+                idx_c = jnp.minimum(idx, nb - 1)
+                found = (idx < nb) & (keys[idx_c] == kq)
+                val = jnp.where(found, vals[idx_c], base[w_c])
+                return jnp.where(l_r >= v, uni[w_c], val)
+
+            return f
+        if self._j_lm_flat is not None:
+            lm_flat = self._j_lm_flat
+
+            def f(l_r, w_r):
+                return lm_flat[jnp.clip(l_r, 0, None) * v
+                               + jnp.clip(w_r, 0, v - 1)]
+
+            return f
+        return lambda l_r, w_r: (
+            jnp.zeros(jnp.shape(w_r), jnp.float32) - pen)
+
     def _build_step(self):
         """Per-frame dense update, shared by the one-shot and chunked
         scans.  carry = (deltas [N, Ns], ctx [N, Ns]) where ``ctx``
@@ -227,14 +271,13 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         import jax.numpy as jnp
 
         bands, senone = self._j_bands, self._j_senone
-        lm_flat = self._j_lm_flat
+        lm_fn = self._build_lm_fn()
         node_slot, word_slot = self._j_node_slot, self._j_word_slot
         slot_valid = self._j_slot_valid
         parent, is_rc = self._j_parent, self._j_is_root_child
         n_nodes, n_s, w_band = bands.shape
         v = self._n_vocab
         vp1 = v + 1
-        word_pen = float(self.word_penalty)
         q = node_slot.shape[0]
         # with no LM the two-phase emission reduces exactly to a single
         # argmax (adding zero preserves the ranking) — skip the top-k
@@ -264,12 +307,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             ac = jnp.where(slot_valid & (ex_q > NEG_INF / 2), ex_q, NEG_INF)
             r_sc, r_ix = jax.lax.top_k(ac, r_top)         # [R]
             w_r = word_slot[r_ix]
-            if lm_flat is None:
-                lm_r = -word_pen
-            else:
-                l_r = ctx_q[r_ix] % vp1
-                lm_r = lm_flat[jnp.clip(l_r, 0, None) * v
-                               + jnp.clip(w_r, 0, v - 1)]
+            lm_r = lm_fn(ctx_q[r_ix] % vp1, w_r)
             tot = jnp.where(r_sc > NEG_INF / 2, r_sc + lm_r, NEG_INF)
             rb = jnp.argmax(tot)
             e_score = tot[rb]
@@ -345,12 +383,11 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         import jax
         import jax.numpy as jnp
 
-        lm_flat = self._j_lm_flat
+        lm_fn = self._build_lm_fn()
         node_slot, word_slot = self._j_node_slot, self._j_word_slot
         slot_valid = self._j_slot_valid
         v = self._n_vocab
         vp1 = v + 1
-        word_pen = float(self.word_penalty)
         q = node_slot.shape[0]
         l_max = self.max_words
         n_cand = min(n_cand, int(q))
@@ -366,11 +403,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             r_sc, r_ix = jax.lax.top_k(ac, r_fin)
             w_r = word_slot[r_ix]
             c_r = ctx_q[r_ix]
-            if lm_flat is None:
-                lm_r = -word_pen
-            else:
-                lm_r = lm_flat[jnp.clip(c_r % vp1, 0, None) * v
-                               + jnp.clip(w_r, 0, v - 1)]
+            lm_r = lm_fn(c_r % vp1, w_r)
             tot = jnp.where(r_sc > NEG_INF / 2, r_sc + lm_r, NEG_INF)
             scores, c_ix = jax.lax.top_k(tot, n_cand)
             last_words = w_r[c_ix]                          # [C]

@@ -62,14 +62,34 @@ class VectorBeamDecoder(BeamDecoder):
                 word_tab[i, j] = self._word_of[w]
         self._vocab = vocab
         self._word_tab = word_tab
-        # LM tables: unigram + bigram over the lexicon vocabulary.
-        # Ngram LMs build the table vectorized in O(#bigrams + V)
-        # (Ngram.bigram_matrix); foreign LM objects fall back to per-pair
-        # logprob calls.
+        # LM tables over the lexicon vocabulary.  Ngram-style LMs
+        # (anything exposing ``bigram_tables``) stay SPARSE — unigram +
+        # unseen-backoff vectors plus sorted observed-bigram keys — so a
+        # full-vocabulary decode (37.5k words from Mandarin.dat) never
+        # materializes the 5.8 GB dense [V+1, V] table.  Foreign LM
+        # objects fall back to a dense table via per-pair logprob calls.
         v = len(vocab)
+        self._lm_tab = None
+        self._lm_sparse = None
         if self.lm is not None and v:
-            if hasattr(self.lm, "bigram_matrix"):
-                bi = self.lm.bigram_matrix(vocab)
+            if hasattr(self.lm, "bigram_tables"):
+                uni, base, rows, cols, vals = self.lm.bigram_tables(vocab)
+                keys = rows.astype(np.int64) * v + cols
+                order = np.argsort(keys)
+                keys = keys[order]
+                vals = vals[order]
+                if len(keys) == 0:  # sentinel: never matches (k >= 0)
+                    keys = np.asarray([-1], np.int64)
+                    vals = np.zeros(1)
+                self._lm_sparse = (
+                    (self.lm_weight * uni - self.word_penalty)
+                    .astype(np.float32),
+                    (self.lm_weight * base - self.word_penalty)
+                    .astype(np.float32),
+                    keys,
+                    (self.lm_weight * vals - self.word_penalty)
+                    .astype(np.float32),
+                )
             else:
                 uni = np.array([self.lm.logprob(w, []) for w in vocab])
                 bi = np.zeros((v + 1, v))
@@ -77,16 +97,23 @@ class VectorBeamDecoder(BeamDecoder):
                 for p in range(v):
                     for q in range(v):
                         bi[p, q] = self.lm.logprob(vocab[q], [vocab[p]])
-            self._lm_tab = self.lm_weight * bi - self.word_penalty
-        else:
-            # no LM: the word score is the constant insertion penalty —
-            # never materialize a [V+1, V] table (5.8 GB at the full
-            # 38k-word Mandarin.dat vocabulary)
-            self._lm_tab = None
+                self._lm_tab = self.lm_weight * bi - self.word_penalty
 
     def _lm_lookup(self, last_word, words):
-        """Word-boundary score: LM table gather, or the constant
-        insertion penalty when no LM is attached."""
+        """Word-boundary score: sparse/dense LM lookup, or the constant
+        insertion penalty when no LM is attached.  ``last_word == V``
+        means no-previous-word (the unigram row)."""
+        if self._lm_sparse is not None:
+            uni, base, keys, vals = self._lm_sparse
+            last_word = np.asarray(last_word)
+            words = np.asarray(words)
+            v = len(uni)
+            k = last_word.astype(np.int64) * v + words
+            idx = np.searchsorted(keys, k)
+            idx_c = np.minimum(idx, len(keys) - 1)
+            found = (idx < len(keys)) & (keys[idx_c] == k)
+            val = np.where(found, vals[idx_c], base[words])
+            return np.where(last_word == v, uni[words], val)
         if self._lm_tab is None:
             return np.full(np.broadcast(last_word, words).shape,
                            -self.word_penalty)
