@@ -192,10 +192,19 @@ def bench_decode(cfg, fe, rng, batch=256, utt_seconds=4.0, calls=3):
     log(f"decode compile+run: {time.time()-t0:.1f}s "
         f"({sum(len(h) for h in hyps)} hypotheses)")
 
+    # timed, double-buffered: dispatch call k+1 before collecting call
+    # k (the poccala_tpu.serve.DecodeService pattern) so host work and
+    # the device program overlap; decode_collect's host fetch still
+    # synchronizes every call's device work inside the timed region
     t0 = time.time()
+    pending = None
     for _ in range(calls):
         feats, n_frames = features()
-        hyps = dec.decode_batch(feats, n_frames)
+        handle = dec.decode_dispatch(feats, n_frames)
+        if pending is not None:
+            hyps = dec.decode_collect(pending)
+        pending = handle
+    hyps = dec.decode_collect(pending)
     elapsed = time.time() - t0
     assert all(len(h) >= 1 for h in hyps), "empty decode on some utterance"
 

@@ -184,6 +184,13 @@ def main():
     ap.add_argument("--pitch", action="store_true",
                     help="enable the F0 feature column and a "
                          "tone-inclusive (tone-unique) vocabulary")
+    ap.add_argument("--noise-snr", type=float, default=None,
+                    help="mix synthesized babble into the TEST set at "
+                         "this SNR (dB) — noisy-channel evaluation")
+    ap.add_argument("--train-noise-snr", default=None, metavar="LO:HI",
+                    help="multi-condition training: mix babble into "
+                         "each TRAIN utterance at a uniform-random SNR "
+                         "from this dB range (e.g. 10:25)")
     args = ap.parse_args()
 
     import jax
@@ -223,6 +230,44 @@ def main():
     )
     log(f"synthesized {args.train_utts}+{args.test_utts} utts "
         f"in {time.time()-t0:.0f}s")
+
+    # ---- optional babble-noise channel (ROADMAP noisy-channel eval):
+    # a synthesized NOISEX-style multi-talker babble track, mixed over
+    # the whole waveform INCLUDING the VAD noise-estimation window —
+    # the production VAD must cope, exactly as with a real noisy channel
+    if args.noise_snr is not None or args.train_noise_snr:
+        from poccala_tpu.io import wav as wav_io
+        from poccala_tpu.io.synth_formant import (make_babble_track,
+                                                  mix_at_snr)
+
+        t0 = time.time()
+        babble = make_babble_track(vocab[:120], py, duration_s=30.0,
+                                   n_talkers=6, seed=args.seed + 5)
+
+        def noisify(audio_dir, snr_lo, snr_hi, seed):
+            rng = np.random.default_rng(seed)
+            n = 0
+            for name in sorted(os.listdir(audio_dir)):
+                if not name.endswith(".wav"):
+                    continue
+                p = os.path.join(audio_dir, name)
+                data, rate = wav_io.load_wav(p)
+                snr = float(rng.uniform(snr_lo, snr_hi))
+                wav_io.write_wav(p, mix_at_snr(data, babble, snr, rng),
+                                 rate)
+                n += 1
+            return n
+
+        if args.train_noise_snr:
+            lo, hi = (float(x) for x in args.train_noise_snr.split(":"))
+            n = noisify(a_tr, lo, hi, args.seed + 31)
+            log(f"multi-condition train: babble at U[{lo},{hi}] dB "
+                f"over {n} utts")
+        if args.noise_snr is not None:
+            n = noisify(a_te, args.noise_snr, args.noise_snr,
+                        args.seed + 32)
+            log(f"noisy test: babble at {args.noise_snr} dB over {n} utts")
+        log(f"babble mixing took {time.time()-t0:.0f}s")
 
     # ---- config (BASELINE config-2 shape on XIF_tone units)
     cfg = Config()
@@ -371,6 +416,13 @@ def main():
         "test_audio_seconds": round(audio_seconds, 1),
         "unit_inventory": "XIF_tone + sil",
         "pitch_feature": bool(args.pitch),
+        "noise": (None if args.noise_snr is None and not args.train_noise_snr
+                  else {
+                      "kind": "synthesized 6-talker babble "
+                              "(make_babble_track)",
+                      "test_snr_db": args.noise_snr,
+                      "train_snr_db": args.train_noise_snr or "clean",
+                  }),
         "vocab_uniqueness": ("pronunciation-unique incl. tone"
                              if args.pitch else
                              "pronunciation-unique ignoring tone"),

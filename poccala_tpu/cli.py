@@ -269,6 +269,75 @@ def cmd_listen(args):
     }, ensure_ascii=False))
 
 
+def cmd_serve(args):
+    """Batch serving: read WAV paths (one per line) from stdin or
+    ``--list``, decode them through the double-buffered
+    :class:`~poccala_tpu.serve.DecodeService` (micro-batched, host
+    frontend overlapped with device decode), and print one JSON line
+    per WAV in input order.  The pipelined form of the reference's
+    synchronous serve loop (``Decoder.py:190-218``)."""
+    from poccala_tpu.decoder.device import DeviceBeamDecoder
+    from poccala_tpu.io import wav as wav_io
+    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
+    from poccala_tpu.ops import vad as vad_ops
+    from poccala_tpu.ops.frontend import Frontend
+    from poccala_tpu.serve import DecodeService
+    from poccala_tpu.train import checkpoint as ckpt
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    bank, _ = ckpt.load_checkpoint(args.checkpoint)
+    lex = PronunciationLexicon()
+    lex.load(args.lexicon)
+    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    lm = None
+    if args.lm:
+        from poccala_tpu.lm import Ngram
+
+        lm = Ngram(args.lm_order)
+        lm.init_gram(args.lm)
+    dec = DeviceBeamDecoder(bank, flat, beam=args.beam, lm=lm,
+                            normalizer=cfg.model.gaussian_normalizer,
+                            score_dtype=cfg.model.score_dtype)
+    mesh = _maybe_mesh(cfg, args)
+    fe = Frontend(cfg.frontend)
+
+    if args.list:
+        with open(args.list) as f:
+            paths = [line.strip() for line in f if line.strip()]
+    else:
+        paths = [line.strip() for line in sys.stdin if line.strip()]
+
+    def features(path):
+        data, _ = wav_io.load_wav(path)
+        sig = wav_io.preprocess_signal(
+            data, drop_zeros=cfg.frontend.reference_quirks)
+        feats, mask = fe.mfcc(sig)
+        keep = vad_ops.vad_mask(feats, mask) if cfg.frontend.vad else mask
+        packed, n = vad_ops.apply_mask(feats, keep)
+        return np.asarray(packed)[: int(n)]
+
+    with DecodeService(dec, batch_size=args.batch_size,
+                       frame_bucket=args.frame_bucket,
+                       return_nbest=args.nbest, mesh=mesh) as svc:
+        # submit as we load: the frontend of WAV k+1 overlaps the
+        # device decode of the batch holding WAV k
+        futs = [(p, svc.submit(features(p))) for p in paths]
+        for path, fut in futs:
+            hyps = fut.result()
+            print(json.dumps({
+                "wav": path,
+                "nbest": [{"words": list(h.words), "score": h.score}
+                          for h in hyps],
+            }, ensure_ascii=False), flush=True)
+    st = svc.stats
+    print(json.dumps({
+        "requests": st.requests, "batches": st.batches,
+        "padded_slots": st.padded_slots, "frames": st.frames,
+        "compiled_shapes": sorted(st.shapes),
+    }), file=sys.stderr)
+
+
 def cmd_export_ref(args):
     from poccala_tpu.train import checkpoint as ckpt
 
@@ -390,6 +459,19 @@ def build_parser() -> argparse.ArgumentParser:
     li.add_argument("--chunk-frames", type=int, default=25,
                     help="stream-decode chunk size in frames")
     li.set_defaults(fn=cmd_listen)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--checkpoint", required=True)
+    sv.add_argument("--lexicon", required=True)
+    sv.add_argument("--lm")
+    sv.add_argument("--lm-order", type=int, default=2)
+    sv.add_argument("--beam", type=float, default=0.85)
+    sv.add_argument("--list", help="file of WAV paths (default: stdin)")
+    sv.add_argument("--batch-size", type=int, default=8)
+    sv.add_argument("--frame-bucket", type=int, default=128)
+    sv.add_argument("--nbest", type=int, default=1)
+    add_dist_flags(sv)
+    sv.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("export-ref")
     e.add_argument("--checkpoint", required=True)

@@ -159,11 +159,24 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             — the program then runs under ``shard_map`` with utterances
             sharded across devices (distributed decode).
         """
+        return self.decode_collect(
+            self.decode_dispatch(feats, n_frames, return_nbest, mesh))
+
+    def decode_dispatch(self, feats, n_frames, return_nbest: int = 1,
+                        mesh=None):
+        """Asynchronously dispatch one decode batch and return an opaque
+        handle; :meth:`decode_collect` turns the handle into hypothesis
+        lists.  JAX dispatch returns before the device executes, so a
+        server can overlap the host work of the next batch (WAV load,
+        frontend padding, id→word mapping of the previous batch) with
+        the device computation of this one — the double-buffered form of
+        the reference's serving loop (``Decoder.py:190-218``); see
+        :class:`poccala_tpu.serve.DecodeService`."""
         import jax.numpy as jnp
 
         self._prep_device()
         if len(self._roots) == 0:
-            return [[] for _ in range(int(np.shape(feats)[0]))]
+            return (None, None, int(np.shape(feats)[0]), return_nbest)
         n_frames = np.asarray(n_frames)
         b_orig = int(np.shape(feats)[0])
         if mesh is not None:
@@ -181,6 +194,14 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             run = self._sharded_run_fn(t_pad, n_cand, mesh)
         seqs, scores = run(jnp.asarray(feats, jnp.float32),
                            jnp.asarray(n_frames.astype(np.int32)))
+        return (seqs, scores, b_orig, return_nbest)
+
+    def decode_collect(self, handle):
+        """Block on a :meth:`decode_dispatch` handle and map ids to
+        vocab words (the only host work on the decode path)."""
+        seqs, scores, b_orig, return_nbest = handle
+        if seqs is None:
+            return [[] for _ in range(b_orig)]
         return self._to_hypotheses(np.asarray(seqs), np.asarray(scores),
                                    b_orig, return_nbest)
 

@@ -467,39 +467,12 @@ def synth_utterance(
 # Corpus generation
 # ----------------------------------------------------------------------
 
-def generate_formant_corpus(
-    out_dir: str,
-    words: list[str],
-    pinyin,
-    num_utts: int = 200,
-    words_per_utt: tuple[int, int] = (2, 6),
-    n_speakers: int = 8,
-    rate: int = 16000,
-    seed: int = 0,
-    zipf: float = 1.0,
-    sil_token: str | None = None,
-) -> tuple[str, str, list[tuple[str, list[str]]]]:
-    """Write a THCHS-30-style corpus: ``record/utt*.wav`` plus
-    ``label/utt*.wav.trn`` with line 0 = the word sequence (space
-    separated) and line 1 = toned pinyin syllables (the
-    ``label_format='pinyin'`` training line, ``load_line=1``).
-
-    Word frequencies follow a Zipf-ish distribution so the bigram LM has
-    structure.  Returns ``(audio_dir, label_dir, transcripts)`` where
-    transcripts are ``(utt_name, [words])``.
-
-    :param sil_token: when set (e.g. ``"sil"``), the pinyin label line
-        marks the utterance-boundary and inter-word pauses with this
-        token, enabling explicit silence-model training (the token is a
-        *unit name*, passed through by ``Corpus._encode_label``).
-    """
-    rng = np.random.default_rng(seed)
-    audio_dir = os.path.join(out_dir, "record")
-    label_dir = os.path.join(out_dir, "label")
-    os.makedirs(audio_dir, exist_ok=True)
-    os.makedirs(label_dir, exist_ok=True)
-
-    # word -> (pinyin syllable strings, per-syllable unit lists)
+def _synthesizable_entries(words, pinyin):
+    """word -> (pinyin syllable strings, per-syllable unit lists) for
+    every word whose units the synthesizer can render AND whose
+    reconstructed toned-pinyin label line round-trips through the
+    training-side G2P (``pinyin.syllable_to_units``) — otherwise labels
+    and audio would diverge."""
     lex_entries: list[tuple[str, list[str], list[list[str]]]] = []
     for w in words:
         p = pinyin.word2pinyin(w)
@@ -535,8 +508,6 @@ def generate_formant_corpus(
                     if ini in ("j", "q", "x", "y") else ini + base
             syls.append(spell + tone)
             units.append([ini, fin])
-        # the .trn pinyin line must round-trip to the synthesized units
-        # through the training-side G2P, or labels and audio diverge
         if ok:
             for syl, us in zip(syls, units):
                 if pinyin.syllable_to_units(syl) != us:
@@ -544,9 +515,108 @@ def generate_formant_corpus(
                     break
         if ok and syls:
             lex_entries.append((w, syls, units))
+    return lex_entries
+
+
+def make_babble_track(
+    words: list[str],
+    pinyin,
+    duration_s: float,
+    n_talkers: int = 6,
+    rate: int = 16000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Synthesize a babble-noise track: ``n_talkers`` independent
+    synthetic speakers talking simultaneously (each an endless stream of
+    random words), overlap-added and RMS-normalized — the synthesized
+    analogue of the NOISEX-92 "babble" channel.  Used by the noisy-
+    channel WER evaluation (``benchmarks/wer_run.py --noise-snr``)."""
+    rng = np.random.default_rng(seed)
+    entries = _synthesizable_entries(words, pinyin)
+    if not entries:
+        raise ValueError("no synthesizable words for babble")
+    n = int(duration_s * rate)
+    track = np.zeros(n, np.float64)
+    for _ in range(n_talkers):
+        spk = Speaker.random(rng)
+        at = 0
+        while at < n:
+            k = int(rng.integers(1, 4))
+            idx = rng.choice(len(entries), size=k)
+            syl_units = [u for j in idx for u in entries[j][2]]
+            sig = synth_utterance(syl_units, spk, rng, rate=rate)
+            end = min(n, at + len(sig))
+            track[at:end] += sig[: end - at]
+            at = end
+    rms = float(np.sqrt(np.mean(track ** 2)))
+    if rms > 0:
+        track /= rms
+    return track.astype(np.float32)
+
+
+def mix_at_snr(
+    sig: np.ndarray,
+    noise: np.ndarray,
+    snr_db: float,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Add ``noise`` to ``sig`` at a target SNR in dB.  Speech power is
+    measured over active samples (above 2% of peak — the synthesized
+    utterances carry long lead/trail silences that would otherwise
+    deflate it); noise power over the slice actually used.  A random
+    offset into ``noise`` decorrelates utterances sharing one track."""
+    sig = np.asarray(sig, np.float64)
+    noise = np.asarray(noise, np.float64)
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if len(noise) < len(sig):
+        reps = -(-len(sig) // len(noise))
+        noise = np.tile(noise, reps)
+    off = int(rng.integers(0, len(noise) - len(sig) + 1))
+    nz = noise[off: off + len(sig)]
+    active = np.abs(sig) > 0.02 * (np.max(np.abs(sig)) + 1e-12)
+    p_sig = float(np.mean(sig[active] ** 2)) if active.any() \
+        else float(np.mean(sig ** 2))
+    p_nz = float(np.mean(nz ** 2)) + 1e-12
+    scale = np.sqrt(p_sig / (p_nz * 10.0 ** (snr_db / 10.0)))
+    return (sig + scale * nz).astype(np.float32)
+
+
+def generate_formant_corpus(
+    out_dir: str,
+    words: list[str],
+    pinyin,
+    num_utts: int = 200,
+    words_per_utt: tuple[int, int] = (2, 6),
+    n_speakers: int = 8,
+    rate: int = 16000,
+    seed: int = 0,
+    zipf: float = 1.0,
+    sil_token: str | None = None,
+) -> tuple[str, str, list[tuple[str, list[str]]]]:
+    """Write a THCHS-30-style corpus: ``record/utt*.wav`` plus
+    ``label/utt*.wav.trn`` with line 0 = the word sequence (space
+    separated) and line 1 = toned pinyin syllables (the
+    ``label_format='pinyin'`` training line, ``load_line=1``).
+
+    Word frequencies follow a Zipf-ish distribution so the bigram LM has
+    structure.  Returns ``(audio_dir, label_dir, transcripts)`` where
+    transcripts are ``(utt_name, [words])``.
+
+    :param sil_token: when set (e.g. ``"sil"``), the pinyin label line
+        marks the utterance-boundary and inter-word pauses with this
+        token, enabling explicit silence-model training (the token is a
+        *unit name*, passed through by ``Corpus._encode_label``).
+    """
+    rng = np.random.default_rng(seed)
+    audio_dir = os.path.join(out_dir, "record")
+    label_dir = os.path.join(out_dir, "label")
+    os.makedirs(audio_dir, exist_ok=True)
+    os.makedirs(label_dir, exist_ok=True)
+
+    lex_entries = _synthesizable_entries(words, pinyin)
     if not lex_entries:
         raise ValueError("no synthesizable words")
-
     # Zipf weights over the vocabulary
     ranks = np.arange(1, len(lex_entries) + 1, dtype=np.float64)
     weights = ranks ** (-zipf)

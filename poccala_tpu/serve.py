@@ -1,0 +1,224 @@
+"""Batched decode serving: a double-buffered request pipeline.
+
+The reference's serving story is a synchronous loop — record a window,
+run VAD, decode it, print, repeat (``Decoder.main``,
+``/root/reference/Decoder.py:190-218``); every stage waits for every
+other stage.  On TPU that serializes host work (WAV load, frontend
+padding, id→word mapping) with device work (scoring + Viterbi scan),
+leaving the chip idle between batches.
+
+:class:`DecodeService` is the TPU-native form: requests are queued,
+micro-batched, and decoded through the device decoder's
+``decode_dispatch`` / ``decode_collect`` split
+(:meth:`poccala_tpu.decoder.device.DeviceBeamDecoder.decode_dispatch`).
+JAX dispatch is asynchronous — it returns as soon as the program is
+enqueued — so while batch *k* executes on device, the service pads and
+dispatches batch *k+1* and only then blocks on batch *k*'s results:
+classic double buffering, one batch of latency for full host/device
+overlap.
+
+Shapes are kept jit-cache-friendly: batch size is fixed (short batches
+are padded with dead utterances, ``n_frames = 0``) and frame counts are
+rounded up to ``frame_bucket`` multiples, so a long-running service
+compiles at most ``max_frames / frame_bucket`` programs, not one per
+request shape.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class ServiceStats:
+    """Counters exposed as :attr:`DecodeService.stats`."""
+
+    requests: int = 0
+    batches: int = 0
+    padded_slots: int = 0      # dead utterances dispatched as padding
+    padded_frames: int = 0     # frame padding beyond each request's T
+    frames: int = 0            # real (valid) frames decoded
+    shapes: set = field(default_factory=set)  # distinct (B, T) dispatched
+
+
+class DecodeService:
+    """Double-buffered micro-batching front door for a
+    :class:`~poccala_tpu.decoder.device.DeviceBeamDecoder`.
+
+    :param decoder: a device-tier decoder (anything with
+        ``decode_dispatch``/``decode_collect``)
+    :param batch_size: fixed micro-batch width ``B``
+    :param frame_bucket: frame counts are padded up to multiples of
+        this, bounding the number of compiled programs
+    :param max_wait_s: after the first request of a batch arrives, wait
+        at most this long for the batch to fill before dispatching
+    :param return_nbest: hypotheses returned per request
+    :param mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis —
+        batches are then decoded under ``shard_map`` (distributed
+        serving; ``batch_size`` should divide by the axis size)
+
+    Use as a context manager, or call :meth:`close` explicitly::
+
+        with DecodeService(dec, batch_size=8) as svc:
+            futs = [svc.submit(f) for f in feature_arrays]
+            results = [f.result() for f in futs]
+    """
+
+    def __init__(self, decoder, batch_size: int = 8,
+                 frame_bucket: int = 128, max_wait_s: float = 0.005,
+                 return_nbest: int = 1, mesh=None):
+        if batch_size < 1:
+            raise ValueError("batch_size must be >= 1")
+        if frame_bucket < 1:
+            raise ValueError("frame_bucket must be >= 1")
+        self.decoder = decoder
+        self.batch_size = int(batch_size)
+        self.frame_bucket = int(frame_bucket)
+        self.max_wait_s = float(max_wait_s)
+        self.return_nbest = int(return_nbest)
+        self.mesh = mesh
+        self.stats = ServiceStats()
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._loop, name="poccala-decode-service", daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    # client API
+    # ------------------------------------------------------------------
+
+    def submit(self, feats, n_frames: int | None = None) -> Future:
+        """Enqueue one utterance's features ``[T, D]`` (float32; VAD
+        already applied, as in ``cmd_decode``).  Returns a
+        :class:`~concurrent.futures.Future` resolving to the n-best
+        :class:`~poccala_tpu.decoder.beam.Hypothesis` list."""
+        if self._closed:
+            raise RuntimeError("DecodeService is closed")
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2:
+            raise ValueError(f"expected [T, D] features, got {feats.shape}")
+        n = int(n_frames) if n_frames is not None else feats.shape[0]
+        fut: Future = Future()
+        self._q.put((feats, n, fut))
+        return fut
+
+    def decode_many(self, feats_list, n_frames=None):
+        """Pipelined batch convenience: submit everything, gather in
+        order.  Equivalent to per-utterance ``decode_batch`` results."""
+        if n_frames is None:
+            n_frames = [None] * len(feats_list)
+        futs = [self.submit(f, n) for f, n in zip(feats_list, n_frames)]
+        return [f.result() for f in futs]
+
+    def close(self, timeout: float | None = 30.0):
+        """Drain the queue, resolve all futures, stop the worker."""
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+    # worker
+    # ------------------------------------------------------------------
+
+    def _gather_batch(self, block: bool):
+        """Collect up to ``batch_size`` requests.  When ``block``, wait
+        indefinitely for the first one; otherwise return ``[]`` if the
+        queue is momentarily empty (the caller then resolves the
+        in-flight batch instead of holding its futures hostage).  After
+        the first request, fill for at most ``max_wait_s``.  ``None``
+        items are shutdown wake-ups, not requests."""
+        import time
+
+        reqs = []
+        try:
+            item = self._q.get() if block else self._q.get_nowait()
+        except queue.Empty:
+            return reqs
+        if item is None:
+            return reqs
+        reqs.append(item)
+        deadline = time.monotonic() + self.max_wait_s
+        while len(reqs) < self.batch_size:
+            remain = deadline - time.monotonic()
+            try:
+                item = self._q.get(
+                    timeout=max(remain, 0.0) if not self._closed else 0.0)
+            except queue.Empty:
+                break
+            if item is None:
+                break
+            reqs.append(item)
+        return reqs
+
+    def _dispatch(self, reqs):
+        """Pad to the fixed (B, bucketed-T) shape and enqueue on device."""
+        b = self.batch_size
+        t_max = max(r[0].shape[0] for r in reqs)
+        t_pad = max(self.frame_bucket,
+                    -(-t_max // self.frame_bucket) * self.frame_bucket)
+        d = reqs[0][0].shape[1]
+        feats = np.zeros((b, t_pad, d), np.float32)
+        nf = np.zeros((b,), np.int32)
+        for i, (f, n, _) in enumerate(reqs):
+            feats[i, : f.shape[0]] = f
+            nf[i] = n
+        st = self.stats
+        st.requests += len(reqs)
+        st.batches += 1
+        st.padded_slots += b - len(reqs)
+        st.frames += int(nf.sum())
+        st.padded_frames += int(len(reqs) * t_pad - sum(
+            r[0].shape[0] for r in reqs))
+        st.shapes.add((b, t_pad))
+        return self.decoder.decode_dispatch(
+            feats, nf, return_nbest=self.return_nbest, mesh=self.mesh)
+
+    def _resolve(self, pending):
+        handle, reqs = pending
+        try:
+            outs = self.decoder.decode_collect(handle)
+            for (_, _, fut), hyps in zip(reqs, outs):
+                fut.set_result(hyps)
+        except Exception as e:  # pragma: no cover - defensive
+            for _, _, fut in reqs:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _loop(self):
+        pending = None  # (handle, reqs) executing on device
+        while True:
+            # only block for new work when nothing is in flight — an
+            # empty queue with a batch pending means the clients are
+            # waiting on results, so collect instead of waiting
+            reqs = self._gather_batch(block=pending is None)
+            nxt = None
+            if reqs:
+                try:
+                    nxt = (self._dispatch(reqs), reqs)
+                except Exception as e:
+                    for _, _, fut in reqs:
+                        fut.set_exception(e)
+            # collect the PREVIOUS batch only after the next one is
+            # already on the device queue — the double buffer
+            if pending is not None:
+                self._resolve(pending)
+            pending = nxt
+            if pending is None and self._closed and self._q.empty():
+                break
+        if pending is not None:  # pragma: no cover - race at shutdown
+            self._resolve(pending)

@@ -110,6 +110,28 @@ class TestCliPipeline:
             assert (lines[-1]["final"][0]["words"]
                     == one_shot["nbest"][0]["words"])
 
+        # 7c. serve (double-buffered batch pipeline) over three wavs:
+        # per-wav JSON in input order, 1-best matching the one-shot
+        # device decode of the same wav
+        wavs = [os.path.join(dirs["audio_dir"], f"utt{i:05d}.wav")
+                for i in range(3)]
+        wav_list = os.path.join(workdir, "wavs.txt")
+        with open(wav_list, "w") as f:
+            f.write("\n".join(wavs) + "\n")
+        out = run(capsys, *common, "serve", "--checkpoint", ckpt_dir,
+                  "--lexicon", lex_path, "--lm", lm_path,
+                  "--list", wav_list, "--batch-size", "2",
+                  "--frame-bucket", "32", "--nbest", "2")
+        served = [json.loads(l) for l in out.strip().splitlines()]
+        assert [s["wav"] for s in served] == wavs
+        out = run(capsys, *common, "decode", "--decoder", "device",
+                  "--checkpoint", ckpt_dir, "--lexicon", lex_path,
+                  "--lm", lm_path, wavs[0])
+        solo = json.loads(out)
+        if solo["nbest"] and served[0]["nbest"]:
+            assert (served[0]["nbest"][0]["words"]
+                    == solo["nbest"][0]["words"])
+
         # 8. reference-layout export/import round trip
         ref_dir = os.path.join(workdir, "refparams")
         run(capsys, *common, "--set", "model.unit_type=TESTUNITS",

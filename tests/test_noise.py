@@ -1,0 +1,93 @@
+"""Babble-noise synthesis + SNR mixing (the noisy-channel eval tools).
+
+``make_babble_track`` overlap-adds independent synthetic talkers;
+``mix_at_snr`` injects it at a target SNR measured over speech-active
+samples.  These pin the SNR arithmetic (achieved ≈ requested), the
+determinism, and that the full pipeline still decodes a babble-mixed
+utterance (the VAD sees noise in its estimation window and must cope).
+"""
+
+import numpy as np
+
+from poccala_tpu.io.synth_formant import (Speaker, make_babble_track,
+                                          mix_at_snr, synth_utterance)
+from poccala_tpu.lexicon import PinYin
+
+
+def _vocab_py():
+    table = {"你": ["ni3"], "好": ["hao3"], "马": ["ma1"], "天": ["tian1"]}
+    return ["你好", "马", "天"], PinYin(table)
+
+
+class TestBabble:
+    def test_track_shape_and_energy(self):
+        words, py = _vocab_py()
+        tr = make_babble_track(words, py, duration_s=2.0, n_talkers=3,
+                               seed=0)
+        assert tr.shape == (32000,)
+        assert tr.dtype == np.float32
+        # RMS-normalized and actually nonzero everywhere-ish
+        assert abs(float(np.sqrt(np.mean(tr.astype(np.float64) ** 2)))
+                   - 1.0) < 1e-3
+        # multiple talkers -> few long dead gaps
+        frame = tr[: 32000 - 32000 % 400].reshape(-1, 400)
+        assert np.mean(np.abs(frame).max(axis=1) > 1e-3) > 0.8
+
+    def test_deterministic(self):
+        words, py = _vocab_py()
+        a = make_babble_track(words, py, 0.5, n_talkers=2, seed=7)
+        b = make_babble_track(words, py, 0.5, n_talkers=2, seed=7)
+        assert np.array_equal(a, b)
+
+
+class TestMixAtSnr:
+    def _speech(self, seed=0):
+        rng = np.random.default_rng(seed)
+        spk = Speaker.random(rng)
+        return synth_utterance([["n", "i3"], ["h", "ao3"]], spk, rng)
+
+    def test_achieved_snr(self):
+        sig = self._speech()
+        words, py = _vocab_py()
+        babble = make_babble_track(words, py, 3.0, n_talkers=3, seed=1)
+        for target in (0.0, 10.0, 20.0):
+            rng = np.random.default_rng(42)
+            noisy = mix_at_snr(sig, babble, target, rng)
+            added = noisy.astype(np.float64) - np.asarray(sig, np.float64)
+            active = np.abs(sig) > 0.02 * np.max(np.abs(sig))
+            p_s = np.mean(np.asarray(sig, np.float64)[active] ** 2)
+            p_n = np.mean(added ** 2)
+            achieved = 10 * np.log10(p_s / p_n)
+            assert abs(achieved - target) < 1.0, (target, achieved)
+
+    def test_short_noise_tiles(self):
+        sig = self._speech()
+        short = np.sin(np.arange(1000) * 0.3).astype(np.float32)
+        noisy = mix_at_snr(sig, short, 15.0, np.random.default_rng(0))
+        assert noisy.shape == np.shape(sig)
+        assert np.isfinite(noisy).all()
+
+    def test_int16_input_survives_pipeline(self, tmp_path):
+        """int16 WAV round trip + frontend + VAD on babble-mixed audio."""
+        from poccala_tpu.config import Config
+        from poccala_tpu.io import wav as wav_io
+        from poccala_tpu.ops import vad as vad_ops
+        from poccala_tpu.ops.frontend import Frontend
+
+        sig = self._speech()
+        words, py = _vocab_py()
+        babble = make_babble_track(words, py, 2.0, n_talkers=3, seed=2)
+        noisy = mix_at_snr(sig, babble, 10.0, np.random.default_rng(3))
+        p = str(tmp_path / "noisy.wav")
+        wav_io.write_wav(p, noisy, 16000)
+        data, rate = wav_io.load_wav(p)
+        assert rate == 16000 and data.dtype == np.int16
+        cfg = Config()
+        fe = Frontend(cfg.frontend)
+        feats, mask = fe.mfcc(wav_io.preprocess_signal(data))
+        keep = vad_ops.vad_mask(feats, mask)
+        packed, n = vad_ops.apply_mask(feats, keep)
+        # VAD keeps a sane speech fraction despite babble in its
+        # noise-estimation window
+        assert 0 < int(n) <= int(np.asarray(mask).sum())
+        assert np.isfinite(np.asarray(packed)[: int(n)]).all()

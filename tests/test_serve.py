@@ -1,0 +1,139 @@
+"""Decode serving pipeline: DecodeService == decode_batch, batched.
+
+The service micro-batches queued requests and double-buffers device
+dispatch against host work (``serve.py``); these tests pin that the
+pipelining is purely an execution-order change — every request gets the
+exact hypotheses the one-shot ``decode_batch`` produces — and that the
+shape-bucketing keeps the jit cache bounded.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from poccala_tpu.config import ModelConfig
+from poccala_tpu.decoder.device import DeviceBeamDecoder
+from poccala_tpu.io.corpus import UnitInventory
+from poccala_tpu.lexicon import FlatLexicon, PinYin, PronunciationLexicon
+from poccala_tpu.models import senone_bank as sb
+from poccala_tpu.serve import DecodeService
+
+
+def _world(rng, d=8):
+    import jax.numpy as jnp
+
+    units = ["n", "i3", "h", "ao3", "m", "a1"]
+    inv = UnitInventory(units)
+    cfg = ModelConfig(state_num=5, mix_level=1, max_mix_level=1)
+    bank = sb.create_bank(len(units), cfg, d, differentiation=False)
+    emb = rng.normal(size=(len(units), d)).astype(np.float32) * 4
+    means = np.repeat(emb, cfg.state_num - 2, axis=0)[:, None, :]
+    bank = dataclasses.replace(bank, means=jnp.asarray(means))
+    table = {"你": ["ni3"], "好": ["hao3"], "马": ["ma1"]}
+    lex = PronunciationLexicon()
+    lex.generate(["你好", "你", "马"], PinYin(table))
+    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    dec = DeviceBeamDecoder(bank, flat, candidate=3)
+
+    def utt(unit_ids, frames_per_unit=12):
+        xs = [
+            emb[u] + rng.normal(size=(frames_per_unit, d)) * 0.3
+            for u in unit_ids
+        ]
+        return np.concatenate(xs).astype(np.float32)
+
+    return dec, utt
+
+
+def _oneshot(dec, feats_list, nbest=1, frame_bucket=32, batch=None):
+    """decode_batch on the same fixed (B, bucketed-T) padding the
+    service uses, so scores are bit-identical."""
+    b = batch or len(feats_list)
+    t_max = max(f.shape[0] for f in feats_list)
+    t_pad = max(frame_bucket, -(-t_max // frame_bucket) * frame_bucket)
+    fb = np.zeros((b, t_pad, feats_list[0].shape[1]), np.float32)
+    nf = np.zeros((b,), np.int32)
+    for i, f in enumerate(feats_list):
+        fb[i, : f.shape[0]] = f
+        nf[i] = f.shape[0]
+    return dec.decode_batch(fb, nf, return_nbest=nbest)[: len(feats_list)]
+
+
+class TestDecodeService:
+    def test_matches_decode_batch(self, rng):
+        dec, utt = _world(rng)
+        seqs = [[0, 1, 2, 3], [0, 1], [4, 5], [0, 1, 2, 3, 4, 5]]
+        feats = [utt(s) for s in seqs]
+        want = _oneshot(dec, feats, nbest=2, batch=4)
+        with DecodeService(dec, batch_size=4, frame_bucket=32,
+                           return_nbest=2) as svc:
+            got = svc.decode_many(feats)
+        for w, g in zip(want, got):
+            assert [h.words for h in g] == [h.words for h in w]
+            assert np.allclose([h.score for h in g],
+                               [h.score for h in w])
+
+    def test_partial_batch_padding(self, rng):
+        """3 requests through a batch_size-8 service: dead padding slots
+        must not perturb real results."""
+        dec, utt = _world(rng)
+        feats = [utt([0, 1]), utt([2, 3]), utt([4, 5])]
+        want = _oneshot(dec, feats, batch=8)
+        with DecodeService(dec, batch_size=8, frame_bucket=32) as svc:
+            got = svc.decode_many(feats)
+        assert [[h.words for h in g] for g in got] == \
+            [[h.words for h in w] for w in want]
+        assert svc.stats.batches == 1
+        assert svc.stats.padded_slots == 5
+
+    def test_many_batches_bounded_shapes(self, rng):
+        """12 requests of assorted lengths, batch 4: >=3 batches, all
+        compiled shapes share the bucket grid."""
+        dec, utt = _world(rng)
+        feats = [utt([i % 6], frames_per_unit=8 + 3 * (i % 5))
+                 for i in range(12)]
+        with DecodeService(dec, batch_size=4, frame_bucket=32,
+                           max_wait_s=0.2) as svc:
+            got = svc.decode_many(feats)
+        assert len(got) == 12
+        assert svc.stats.requests == 12
+        assert svc.stats.batches >= 3
+        for b, t in svc.stats.shapes:
+            assert b == 4 and t % 32 == 0
+        # every request individually matches its solo decode
+        for f, g in zip(feats[:3], got[:3]):
+            w = _oneshot(dec, [f], batch=4)[0]
+            assert [h.words for h in g] == [h.words for h in w]
+
+    def test_submit_after_close_raises(self, rng):
+        dec, utt = _world(rng)
+        svc = DecodeService(dec, batch_size=2)
+        svc.close()
+        svc.close()  # idempotent
+        with pytest.raises(RuntimeError):
+            svc.submit(utt([0]))
+
+    def test_bad_shape_rejected(self, rng):
+        dec, utt = _world(rng)
+        with DecodeService(dec, batch_size=2) as svc:
+            with pytest.raises(ValueError):
+                svc.submit(np.zeros((4, 4, 8), np.float32))
+
+    def test_dispatch_collect_split_is_decode_batch(self, rng):
+        """The underlying dispatch/collect split composes back to
+        decode_batch exactly (two handles in flight at once)."""
+        dec, utt = _world(rng)
+        f1, f2 = utt([0, 1, 2, 3]), utt([4, 5])
+        b = np.zeros((2, 48, 8), np.float32)
+        b[0, : len(f1)] = f1
+        b[1, : len(f2)] = f2
+        nf = np.array([len(f1), len(f2)], np.int32)
+        want = dec.decode_batch(b, nf, return_nbest=2)
+        h1 = dec.decode_dispatch(b, nf, return_nbest=2)
+        h2 = dec.decode_dispatch(b, nf, return_nbest=2)  # overlapped
+        got1 = dec.decode_collect(h1)
+        got2 = dec.decode_collect(h2)
+        for w, g1, g2 in zip(want, got1, got2):
+            assert [h.words for h in g1] == [h.words for h in w]
+            assert [h.words for h in g2] == [h.words for h in w]
