@@ -79,10 +79,24 @@ class DeviceBeamDecoder(VectorBeamDecoder):
     the backtrace length of a single hypothesis."""
 
     def __init__(self, *args, emit_top: int = 4, max_words: int = 64,
+                 block_size: int = 1024, active_blocks: int | None = None,
                  **kwargs):
+        """``active_blocks``: enable block-pruned search — per frame
+        only the ``active_blocks`` highest-scoring blocks of
+        ``block_size`` (DFS-contiguous) nodes run the banded advance;
+        the rest are pruned to log-zero and revive only through word
+        re-entry / parent flow (entry bookkeeping stays global and
+        cheap).  ``None`` (default) keeps the exact dense search.  This
+        is the TPU form of the reference's beam pruning
+        (``Decoder.py:34``, keep-fraction beam): per-frame cost becomes
+        ~O(active_blocks·block_size) instead of O(n_nodes) for the
+        dominant [*, Ns]-array work — for 10⁴–10⁵-node lexicons."""
         super().__init__(*args, **kwargs)
         self.emit_top = max(1, int(emit_top))  # accepted; no longer used
         self.max_words = max(2, int(max_words))
+        self.block_size = max(8, int(block_size))
+        self.active_blocks = (None if active_blocks is None
+                              else max(1, int(active_blocks)))
 
     # ------------------------------------------------------------------
     def _prep_device(self):
@@ -99,9 +113,9 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         bands = self._bands
         live = np.any(bands > NEG_INF / 2, axis=(0, 1))    # [W]
         w_eff = int(max(2, np.max(np.nonzero(live)[0], initial=1) + 1))
-        self._j_bands = jnp.asarray(bands[:, :, :w_eff])  # [N, Ns, W_eff]
-        self._j_senone = jnp.asarray(self._senone)        # [N, Ns]
-        self._j_word = jnp.asarray(self._word_tab)        # [N, Wt]
+        bands = np.asarray(bands[:, :, :w_eff])            # [N, Ns, W_eff]
+        senone = np.asarray(self._senone)
+        word_tab = np.asarray(self._word_tab)
         self._n_vocab = len(self._vocab)
         # LM on device: sparse (sorted bigram keys + unigram/backoff
         # vectors) for Ngram-style LMs — full-vocabulary decode with a
@@ -122,17 +136,6 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         elif self._lm_tab is not None:
             self._j_lm_flat = jnp.asarray(
                 self._lm_tab, jnp.float32).reshape(-1)
-        # word-emission slots: the static (node, word) pairs — TPU
-        # gathers with static indices are fast, dynamic point gathers
-        # scalarize, so emissions are computed per-slot
-        node_slot, word_slot = np.nonzero(self._word_tab >= 0)
-        if len(node_slot) == 0:
-            node_slot, word_slot = np.zeros(1, np.int64), np.zeros(1, np.int64)
-        self._j_node_slot = jnp.asarray(node_slot.astype(np.int32))  # [Q]
-        self._j_word_slot = jnp.asarray(
-            self._word_tab[node_slot, word_slot].astype(np.int32))   # [Q]
-        self._j_slot_valid = jnp.asarray(
-            self._word_tab[node_slot, word_slot] >= 0)               # [Q]
         # tree parent of each node; -1 for the virtual root and for
         # first-level nodes (their entry comes from word re-entry only)
         lex = self.lexicon
@@ -141,9 +144,68 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         for p in range(1, n_nodes):
             for c in lex.children(p):
                 par[c] = p
-        self._j_parent = jnp.asarray(par)
         is_rc = np.zeros((n_nodes,), bool)
         is_rc[np.asarray(self._roots, np.int64)] = True
+
+        # block pruning: DFS-permute so subtrees are block-contiguous
+        # (a live word keeps its whole prefix path in few blocks), pad
+        # to a block multiple with dead nodes.  The permutation lives
+        # entirely in device-table space — traceback rows carry frame
+        # pointers + word ids, never node ids, so hypotheses and the
+        # host tiers are unaffected.
+        self._prune_on = (self.active_blocks is not None
+                          and n_nodes > self.block_size)
+        if self._prune_on:
+            perm = np.zeros(n_nodes, np.int64)      # new -> old
+            pos, stack = 0, [0]
+            seen = np.zeros(n_nodes, bool)
+            while stack:
+                nid = stack.pop()
+                if seen[nid]:
+                    continue
+                seen[nid] = True
+                perm[pos] = nid
+                pos += 1
+                stack.extend(reversed(list(lex.children(nid))))
+            assert pos == n_nodes, "lexicon tree has unreachable nodes"
+            new_of = np.empty(n_nodes, np.int64)
+            new_of[perm] = np.arange(n_nodes)
+            bands = bands[perm]
+            senone = senone[perm]
+            word_tab = word_tab[perm]
+            par = np.where(par[perm] >= 0, new_of[np.clip(par[perm], 0,
+                                                          None)], -1)
+            par = par.astype(np.int32)
+            is_rc = is_rc[perm]
+            pad = (-n_nodes) % self.block_size
+            if pad:
+                bands = np.pad(bands, ((0, pad), (0, 0), (0, 0)),
+                               constant_values=NEG_INF)
+                senone = np.pad(senone, ((0, pad), (0, 0)),
+                                constant_values=-1)
+                word_tab = np.pad(word_tab, ((0, pad), (0, 0)),
+                                  constant_values=-1)
+                par = np.pad(par, (0, pad), constant_values=-1)
+                is_rc = np.pad(is_rc, (0, pad))
+            self._n_blocks = bands.shape[0] // self.block_size
+            if self.active_blocks >= self._n_blocks:
+                self._prune_on = False  # pruning would be a no-op
+
+        self._j_bands = jnp.asarray(bands)       # [N_p, Ns, W_eff]
+        self._j_senone = jnp.asarray(senone)     # [N_p, Ns]
+        self._j_word = jnp.asarray(word_tab)     # [N_p, Wt]
+        # word-emission slots: the static (node, word) pairs — TPU
+        # gathers with static indices are fast, dynamic point gathers
+        # scalarize, so emissions are computed per-slot
+        node_slot, word_slot = np.nonzero(word_tab >= 0)
+        if len(node_slot) == 0:
+            node_slot, word_slot = np.zeros(1, np.int64), np.zeros(1, np.int64)
+        self._j_node_slot = jnp.asarray(node_slot.astype(np.int32))  # [Q]
+        self._j_word_slot = jnp.asarray(
+            word_tab[node_slot, word_slot].astype(np.int32))         # [Q]
+        self._j_slot_valid = jnp.asarray(
+            word_tab[node_slot, word_slot] >= 0)                     # [Q]
+        self._j_parent = jnp.asarray(par)
         self._j_is_root_child = jnp.asarray(is_rc)
         self._dev_ready = True
 
@@ -390,12 +452,116 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             word_row = jnp.where(active, word_row, -1)
             return (deltas, ctx), (prev_row, word_row)
 
+        def step_pruned(carry, inp):
+            """Block-pruned frame update (``active_blocks``): the banded
+            advance + exit flow run only on the K best-scoring blocks
+            (dynamic ROW gathers — fast on TPU, unlike point gathers);
+            unselected blocks are pruned to log-zero.  Entry bookkeeping
+            (parent flow, word re-entry, emissions) stays global on flat
+            [N]/[Q] vectors, so pruned subtrees revive the moment a word
+            boundary or a live parent feeds their entry state."""
+            blk = self.block_size
+            n_blk = n_nodes // blk
+            k_act = int(self.active_blocks)
+            bands4 = bands.reshape(n_blk, blk, n_s, w_band)
+
+            deltas, ctx = carry
+            frame_scores, ti, active = inp
+            d3 = deltas.reshape(n_blk, blk, n_s)
+            c3 = ctx.reshape(n_blk, blk, n_s)
+            log_b_full = jnp.where(
+                senone >= 0, frame_scores[jnp.clip(senone, 0, None)],
+                NEG_INF)                                     # static gather
+            lb3 = log_b_full.reshape(n_blk, blk, n_s)
+
+            # 0. block selection: per-NODE admissible lookahead — best
+            # current token score plus the node's best acoustic frame
+            # score (the true post-advance score is ≤ this bound since
+            # band costs are ≤ 0; the 0 covers non-emitting entry-state
+            # moves), then max per block.  The acoustic term is the
+            # tie-breaker that keeps matching subtrees alive at t=0
+            # when every root block carries the same seed score
+            node_pot = (jnp.max(d3, axis=2)
+                        + jnp.maximum(jnp.max(lb3, axis=2), 0.0))
+            blk_best = jnp.max(node_pot, axis=1)             # [n_blk]
+            _, kb = jax.lax.top_k(blk_best, k_act)           # [K]
+
+            # 1. gather active blocks (row gathers)
+            d = d3[kb]                                       # [K, blk, Ns]
+            c = c3[kb]
+            bz = bands4[kb]                                  # [K, blk, Ns, W]
+            log_b = lb3[kb]
+            log_b = log_b.at[..., 0].set(0.0)
+
+            # 2. banded in-node advance on active blocks only
+            best = jnp.full_like(d, NEG_INF)
+            bctx = jnp.full(c.shape, ctx_dead)
+            for k in range(w_band):
+                cand = d + bz[..., k]
+                cctx = c
+                if k:
+                    cand = jnp.concatenate(
+                        [jnp.full((k_act, blk, k), NEG_INF),
+                         cand[..., :-k]], axis=-1)
+                    cctx = jnp.concatenate(
+                        [jnp.full((k_act, blk, k), ctx_dead, jnp.int32),
+                         c[..., :-k]], axis=-1)
+                win = cand > best
+                best = jnp.where(win, cand, best)
+                bctx = jnp.where(win, cctx, bctx)
+            d_new = jnp.maximum(best + log_b, NEG_INF)
+            ctx_adv = bctx
+
+            # 3. exit flow of active blocks, scattered to flat [N]
+            ex_k = jnp.full((k_act, blk), NEG_INF)
+            exc_k = jnp.full((k_act, blk), ctx_dead)
+            for k in range(1, w_band):
+                rr = n_s - 1 - k
+                if rr < 0:
+                    continue
+                cand = d_new[..., rr] + bz[..., rr, k]
+                win = cand > ex_k
+                ex_k = jnp.where(win, cand, ex_k)
+                exc_k = jnp.where(win, ctx_adv[..., rr], exc_k)
+            ex = jnp.full((n_blk, blk), NEG_INF).at[kb].set(
+                ex_k).reshape(-1)
+            ex_ctx = jnp.full((n_blk, blk), ctx_dead,
+                              jnp.int32).at[kb].set(exc_k).reshape(-1)
+
+            # 4-5. emission + entry refresh: global flat vectors
+            e_score, prev_row, word_row = emissions(ex, ex_ctx)
+            flow = jnp.where(parent >= 0,
+                             ex[jnp.clip(parent, 0, None)], NEG_INF)
+            flow_ctx = ex_ctx[jnp.clip(parent, 0, None)]
+            restart = jnp.where(is_rc, e_score, NEG_INF)
+            use_restart = restart > flow
+            entry = jnp.maximum(flow, restart)
+            re_ctx = (ti + 1) * vp1 + jnp.where(word_row >= 0, word_row, v)
+            entry_ctx = jnp.where(use_restart, re_ctx, flow_ctx)
+
+            # 6. write back: unselected blocks are pruned to log-zero
+            d_out = jnp.full((n_blk, blk, n_s), NEG_INF).at[kb].set(
+                d_new).reshape(n_nodes, n_s)
+            c_out = jnp.full((n_blk, blk, n_s), ctx_dead,
+                             jnp.int32).at[kb].set(ctx_adv).reshape(
+                n_nodes, n_s)
+            d_out = d_out.at[:, 0].set(entry)
+            c_out = c_out.at[:, 0].set(entry_ctx)
+
+            deltas = jnp.where(active, d_out, deltas)
+            ctx = jnp.where(active, c_out, ctx)
+            prev_row = jnp.where(active, prev_row, -1)
+            word_row = jnp.where(active, word_row, -1)
+            return (deltas, ctx), (prev_row, word_row)
+
         def seed():
             deltas0 = jnp.full((n_nodes, n_s), NEG_INF)
             deltas0 = deltas0.at[:, 0].set(jnp.where(is_rc, 0.0, NEG_INF))
             ctx0 = jnp.full((n_nodes, n_s), ctx_dead, jnp.int32)
             return (deltas0, ctx0)
 
+        if getattr(self, "_prune_on", False):
+            return step_pruned, seed, exit_of
         return step, seed, exit_of
 
     def _build_finalize(self, n_cand: int):
