@@ -158,8 +158,15 @@ def cmd_decode(args):
 
         lm = Ngram(args.lm_order)
         lm.init_gram(args.lm)
+    kw = {}
+    if args.decoder == "device":
+        # block-pruned search knobs (--set decoder.active_blocks=K
+        # decoder.block_size=N); 0 keeps the exact dense search
+        kw.update(block_size=cfg.decoder.block_size,
+                  active_blocks=cfg.decoder.active_blocks or None,
+                  score_dtype=cfg.model.score_dtype)
     dec = BeamDecoder(bank, flat, beam=args.beam, lm=lm,
-                      normalizer=cfg.model.gaussian_normalizer)
+                      normalizer=cfg.model.gaussian_normalizer, **kw)
     mesh = _maybe_mesh(cfg, args)
     fe = Frontend(cfg.frontend)
     packs = []
@@ -228,7 +235,9 @@ def cmd_listen(args):
         lm.init_gram(args.lm)
     dec = DeviceBeamDecoder(bank, flat, beam=args.beam, lm=lm,
                             normalizer=cfg.model.gaussian_normalizer,
-                            score_dtype=cfg.model.score_dtype)
+                            score_dtype=cfg.model.score_dtype,
+                            block_size=cfg.decoder.block_size,
+                            active_blocks=cfg.decoder.active_blocks or None)
     fe = Frontend(cfg.frontend)
 
     if args.wav:
@@ -298,7 +307,9 @@ def cmd_serve(args):
         lm.init_gram(args.lm)
     dec = DeviceBeamDecoder(bank, flat, beam=args.beam, lm=lm,
                             normalizer=cfg.model.gaussian_normalizer,
-                            score_dtype=cfg.model.score_dtype)
+                            score_dtype=cfg.model.score_dtype,
+                            block_size=cfg.decoder.block_size,
+                            active_blocks=cfg.decoder.active_blocks or None)
     mesh = _maybe_mesh(cfg, args)
     fe = Frontend(cfg.frontend)
 

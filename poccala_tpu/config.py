@@ -174,6 +174,21 @@ class TrainConfig:
 
 
 @dataclass
+class DecoderConfig:
+    """Decode-time search knobs (the reference's beam pruning,
+    ``Decoder.py:34,159-167``, in its TPU block-pruned form — see
+    :class:`poccala_tpu.decoder.device.DeviceBeamDecoder`)."""
+
+    beam: float = 0.85              # host-tier keep fraction (Decoder.py:34)
+    # Device tier block pruning: per frame only the ``active_blocks``
+    # best-scoring blocks of ``block_size`` DFS-contiguous nodes run the
+    # banded advance; 0 = exact dense search (default).  Worth enabling
+    # for 10⁴⁺-node lexicons (benchmarks/scaling.json pruned rows).
+    block_size: int = 1024
+    active_blocks: int = 0
+
+
+@dataclass
 class MeshConfig:
     """Device-mesh layout (SURVEY.md §7 step 6).
 
@@ -192,6 +207,7 @@ class Config:
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
     # ------------------------------------------------------------------
@@ -234,7 +250,8 @@ class Config:
                 raise KeyError(f"unknown config key: {dotted}")
             setattr(group, attr, _coerce(group, attr, value))
             return
-        for group_name in ("paths", "frontend", "model", "train", "mesh"):
+        for group_name in ("paths", "frontend", "model", "train", "decoder",
+                           "mesh"):
             group = getattr(self, group_name)
             if hasattr(group, dotted):
                 setattr(group, dotted, _coerce(group, dotted, value))

@@ -155,6 +155,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         # host tiers are unaffected.
         self._prune_on = (self.active_blocks is not None
                           and n_nodes > self.block_size)
+        self._perm = None  # new -> old node permutation (pruned mode)
         if self._prune_on:
             perm = np.zeros(n_nodes, np.int64)      # new -> old
             pos, stack = 0, [0]
@@ -168,6 +169,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
                 pos += 1
                 stack.extend(reversed(list(lex.children(nid))))
             assert pos == n_nodes, "lexicon tree has unreachable nodes"
+            self._perm = perm
             new_of = np.empty(n_nodes, np.int64)
             new_of[perm] = np.arange(n_nodes)
             bands = bands[perm]
@@ -474,15 +476,17 @@ class DeviceBeamDecoder(VectorBeamDecoder):
                 NEG_INF)                                     # static gather
             lb3 = log_b_full.reshape(n_blk, blk, n_s)
 
-            # 0. block selection: per-NODE admissible lookahead — best
-            # current token score plus the node's best acoustic frame
-            # score (the true post-advance score is ≤ this bound since
-            # band costs are ≤ 0; the 0 covers non-emitting entry-state
-            # moves), then max per block.  The acoustic term is the
-            # tie-breaker that keeps matching subtrees alive at t=0
-            # when every root block carries the same seed score
-            node_pot = (jnp.max(d3, axis=2)
-                        + jnp.maximum(jnp.max(lb3, axis=2), 0.0))
+            # 0. block selection: per-NODE one-step lookahead — best
+            # current token score plus the node's best *emitting*
+            # acoustic score for this frame (lb3 is NEG_INF on the
+            # non-emitting entry/exit rows, so the max ranges over real
+            # senones), then max per block.  The acoustic term is what
+            # separates blocks at t=0, when every root child carries the
+            # same 0.0 seed: log-densities are typically negative, so
+            # any floor at 0 here would erase the lookahead and make
+            # top_k pick blocks by index — exactly the matching-subtree
+            # drop this term exists to prevent
+            node_pot = jnp.max(d3, axis=2) + jnp.max(lb3, axis=2)
             blk_best = jnp.max(node_pot, axis=1)             # [n_blk]
             _, kb = jax.lax.top_k(blk_best, k_act)           # [K]
 

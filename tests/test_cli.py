@@ -92,6 +92,18 @@ class TestCliPipeline:
         assert result["wav"] == wav
         assert isinstance(result["nbest"], list)
 
+        # 7a. block-pruned decode knobs reach the device tier via --set
+        # (tiny lexicon -> pruning a no-op, but the plumbing runs; real
+        # pruning behavior is pinned in test_block_pruned.py)
+        out = run(capsys, *common, "--set", "decoder.active_blocks=2",
+                  "--set", "decoder.block_size=8",
+                  "decode", "--decoder", "device",
+                  "--checkpoint", ckpt_dir, "--lexicon", lex_path,
+                  "--lm", lm_path, wav)
+        pruned_result = json.loads(out)
+        assert pruned_result["wav"] == wav
+        assert isinstance(pruned_result["nbest"], list)
+
         # 7b. listen (streaming serve path) on the same wav: partial
         # 1-bests per chunk + a final n-best whose top hypothesis
         # matches the one-shot device decode
