@@ -330,10 +330,19 @@ def cmd_serve(args):
 
     with DecodeService(dec, batch_size=args.batch_size,
                        frame_bucket=args.frame_bucket,
+                       max_wait_s=args.max_wait_ms / 1e3,
                        return_nbest=args.nbest, mesh=mesh) as svc:
-        # submit as we load: the frontend of WAV k+1 overlaps the
-        # device decode of the batch holding WAV k
-        futs = [(p, svc.submit(features(p))) for p in paths]
+        # featurize one micro-batch of WAVs at a time, then submit them
+        # back-to-back: the submits land within max_wait_s of each
+        # other so batches actually fill (serial featurize-and-submit
+        # dispatched 1-real-utterance batches), while the frontend of
+        # chunk k+1 still overlaps the device decode of chunk k
+        futs = []
+        for lo in range(0, len(paths), args.batch_size):
+            chunk = paths[lo: lo + args.batch_size]
+            feats = [features(p) for p in chunk]
+            futs.extend(
+                (p, svc.submit(f)) for p, f in zip(chunk, feats))
         for path, fut in futs:
             hyps = fut.result()
             print(json.dumps({
@@ -346,6 +355,7 @@ def cmd_serve(args):
         "requests": st.requests, "batches": st.batches,
         "padded_slots": st.padded_slots, "frames": st.frames,
         "compiled_shapes": sorted(st.shapes),
+        "latency": st.latency_summary(),
     }), file=sys.stderr)
 
 
@@ -481,6 +491,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--batch-size", type=int, default=8)
     sv.add_argument("--frame-bucket", type=int, default=128)
     sv.add_argument("--nbest", type=int, default=1)
+    sv.add_argument("--max-wait-ms", type=float, default=20.0,
+                    help="batch-fill wait after the first request "
+                         "(DecodeService max_wait_s)")
     add_dist_flags(sv)
     sv.set_defaults(fn=cmd_serve)
 

@@ -214,10 +214,13 @@ class VectorBeamDecoder(BeamDecoder):
 
             # exact recombination on (utt, node, history): elementwise max
             # of deltas per key — identical semantics to the dict
-            # decoder's keep-max merge (beam.py), but via unique+scatter
-            keys = np.stack([utt.astype(np.int64), nodes, hist], axis=1)
+            # decoder's keep-max merge (beam.py).  Keys are packed into
+            # one int64 so np.unique sorts scalars, not 2D rows (the
+            # rowwise axis=0 unique ran a structured sort per frame)
+            keys = ((utt.astype(np.int64) * n_nodes + nodes)
+                    * (len(tb_prev) + 2) + (hist + 1))
             uniq, rep_idx, seg_of = np.unique(
-                keys, axis=0, return_index=True, return_inverse=True
+                keys, return_index=True, return_inverse=True
             )
             n_seg = len(uniq)
             merged = np.full((n_seg, n_s), NEG_INF)
@@ -228,14 +231,22 @@ class VectorBeamDecoder(BeamDecoder):
             )
             deltas = merged
 
-            # per-utterance beam pruning + cap
-            keep_mask = np.zeros(len(nodes), bool)
+            # per-utterance beam pruning + cap: one segment-wise top-k
+            # over the whole pool via lexsort on (utt, -score) — the
+            # rank of each token within its utterance's descending
+            # order decides survival (no per-utterance Python loop)
             tok_score = deltas.max(axis=1)
-            for u in np.unique(utt):
-                rows = np.where(utt == u)[0]
-                orderu = rows[np.argsort(tok_score[rows])[::-1]]
-                n_keep = max(1, int(np.ceil(len(orderu) * self.beam)))
-                keep_mask[orderu[: min(n_keep, self.max_tokens)]] = True
+            order = np.lexsort((-tok_score, utt))
+            utt_sorted = utt[order]
+            counts = np.bincount(utt_sorted, minlength=b)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            rank = np.arange(len(utt_sorted)) - starts[utt_sorted]
+            n_keep = np.minimum(
+                np.maximum(1, np.ceil(counts * self.beam)).astype(np.int64),
+                self.max_tokens,
+            )
+            keep_mask = np.zeros(len(nodes), bool)
+            keep_mask[order[rank < n_keep[utt_sorted]]] = True
             utt, nodes, deltas, hist, last_word = (
                 utt[keep_mask], nodes[keep_mask], deltas[keep_mask],
                 hist[keep_mask], last_word[keep_mask],

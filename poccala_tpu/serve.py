@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 from concurrent.futures import Future
 from dataclasses import dataclass, field
@@ -45,6 +46,25 @@ class ServiceStats:
     padded_frames: int = 0     # frame padding beyond each request's T
     frames: int = 0            # real (valid) frames decoded
     shapes: set = field(default_factory=set)  # distinct (B, T) dispatched
+    # per-request wall latency, submit -> future resolved (seconds).
+    # Covers queueing + batching wait + device execution — the number a
+    # client actually experiences (the reference printed one wall-clock
+    # figure per window, ``Decoder.py:213-218``)
+    latencies_s: list = field(default_factory=list)
+
+    def latency_summary(self) -> dict:
+        """p50/p95/p99/mean request latency + realtime throughput."""
+        if not self.latencies_s:
+            return {}
+        arr = np.asarray(self.latencies_s)
+        return {
+            "n": int(arr.size),
+            "p50_ms": round(float(np.percentile(arr, 50)) * 1e3, 2),
+            "p95_ms": round(float(np.percentile(arr, 95)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(arr, 99)) * 1e3, 2),
+            "mean_ms": round(float(arr.mean()) * 1e3, 2),
+            "max_ms": round(float(arr.max()) * 1e3, 2),
+        }
 
 
 class DecodeService:
@@ -86,6 +106,7 @@ class DecodeService:
         self.stats = ServiceStats()
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()  # serializes submit vs close
         self._worker = threading.Thread(
             target=self._loop, name="poccala-decode-service", daemon=True)
         self._worker.start()
@@ -99,14 +120,18 @@ class DecodeService:
         already applied, as in ``cmd_decode``).  Returns a
         :class:`~concurrent.futures.Future` resolving to the n-best
         :class:`~poccala_tpu.decoder.beam.Hypothesis` list."""
-        if self._closed:
-            raise RuntimeError("DecodeService is closed")
         feats = np.asarray(feats, np.float32)
         if feats.ndim != 2:
             raise ValueError(f"expected [T, D] features, got {feats.shape}")
         n = int(n_frames) if n_frames is not None else feats.shape[0]
         fut: Future = Future()
-        self._q.put((feats, n, fut))
+        # the closed-check and the enqueue must be atomic vs close():
+        # otherwise submit can pass the check, close() drains + joins,
+        # and the late put leaves a future nothing will ever resolve
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("DecodeService is closed")
+            self._q.put((feats, n, fut, time.monotonic()))
         return fut
 
     def decode_many(self, feats_list, n_frames=None):
@@ -119,11 +144,22 @@ class DecodeService:
 
     def close(self, timeout: float | None = 30.0):
         """Drain the queue, resolve all futures, stop the worker."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)  # wake the worker
-        self._worker.join(timeout=timeout)
+        with self._lock:
+            already = self._closed
+            self._closed = True
+        if not already:
+            self._q.put(None)  # wake the worker
+            self._worker.join(timeout=timeout)
+        # defensive: fail any straggler requests still queued (e.g. the
+        # worker died on an exception) instead of hanging their clients
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[2].done():
+                item[2].set_exception(
+                    RuntimeError("DecodeService closed before decode"))
 
     def __enter__(self):
         return self
@@ -142,8 +178,6 @@ class DecodeService:
         in-flight batch instead of holding its futures hostage).  After
         the first request, fill for at most ``max_wait_s``.  ``None``
         items are shutdown wake-ups, not requests."""
-        import time
-
         reqs = []
         try:
             item = self._q.get() if block else self._q.get_nowait()
@@ -174,7 +208,7 @@ class DecodeService:
         d = reqs[0][0].shape[1]
         feats = np.zeros((b, t_pad, d), np.float32)
         nf = np.zeros((b,), np.int32)
-        for i, (f, n, _) in enumerate(reqs):
+        for i, (f, n, _, _) in enumerate(reqs):
             feats[i, : f.shape[0]] = f
             nf[i] = n
         st = self.stats
@@ -192,10 +226,12 @@ class DecodeService:
         handle, reqs = pending
         try:
             outs = self.decoder.decode_collect(handle)
-            for (_, _, fut), hyps in zip(reqs, outs):
+            now = time.monotonic()
+            for (_, _, fut, t_sub), hyps in zip(reqs, outs):
+                self.stats.latencies_s.append(now - t_sub)
                 fut.set_result(hyps)
         except Exception as e:  # pragma: no cover - defensive
-            for _, _, fut in reqs:
+            for _, _, fut, _ in reqs:
                 if not fut.done():
                     fut.set_exception(e)
 
@@ -211,7 +247,7 @@ class DecodeService:
                 try:
                     nxt = (self._dispatch(reqs), reqs)
                 except Exception as e:
-                    for _, _, fut in reqs:
+                    for _, _, fut, _ in reqs:
                         fut.set_exception(e)
             # collect the PREVIOUS batch only after the next one is
             # already on the device queue — the double buffer

@@ -137,3 +137,35 @@ class TestDecodeService:
         for w, g1, g2 in zip(want, got1, got2):
             assert [h.words for h in g1] == [h.words for h in w]
             assert [h.words for h in g2] == [h.words for h in w]
+
+    def test_latency_stats_and_batch_fill(self, rng):
+        """Back-to-back submits within max_wait_s fill batches (no dead
+        padding slots), and per-request latency lands in the stats."""
+        dec, utt = _world(rng)
+        feats = [utt([0, 1]) for _ in range(6)]
+        with DecodeService(dec, batch_size=3, frame_bucket=32,
+                           max_wait_s=2.0) as svc:
+            svc.decode_many(feats)
+        st = svc.stats
+        assert st.requests == 6
+        assert st.padded_slots == 0, "batches must fill"
+        assert len(st.latencies_s) == 6
+        s = st.latency_summary()
+        assert s["n"] == 6
+        assert s["p99_ms"] >= s["p50_ms"] > 0.0
+        assert s["max_ms"] >= s["p99_ms"]
+
+    def test_close_fails_stragglers(self, rng):
+        """A request that lands in the queue after the worker exited
+        (the submit/close race window) must get its future failed by
+        close(), not hang its client forever."""
+        from concurrent.futures import Future
+
+        dec, utt = _world(rng)
+        svc = DecodeService(dec, batch_size=2)
+        svc.close()
+        fut = Future()
+        svc._q.put((utt([0, 1]), 24, fut, 0.0))  # simulated racer
+        svc.close()  # drains + fails it
+        with pytest.raises(RuntimeError):
+            fut.result(timeout=1)
