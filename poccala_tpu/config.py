@@ -70,6 +70,15 @@ class FrontendConfig:
     vad_sample_size: int = 16       # noise estimated from first 16 frames
     vad_alpha: float = 0.5          # noise EMA
     vad_beta: float = 0.93          # OSF quantile
+    # Optional per-utterance cepstral mean (and variance) normalization
+    # — the textbook first remedy for channel/additive noise, absent
+    # from the reference (its mfcc pipeline, AudioProcessing.py:416-448,
+    # goes straight to deltas).  Masked mean over the true frames of
+    # each utterance, subtracted from the cepstra (c0 included) before
+    # Δ/ΔΔ; cmvn_var additionally scales to unit per-coefficient
+    # variance.  Flag-gated off by default (capability addition).
+    cmvn: bool = False
+    cmvn_var: bool = False
     # Optional pitch (F0) feature column — a capability the reference
     # lacks: MFCC is pitch-blind, so Mandarin tone contrasts are
     # unmodelable without it.  Autocorrelation F0 per frame, encoded as

@@ -265,8 +265,28 @@ class Frontend:
 
     def _post(self, ceps: jax.Array, t_true: jax.Array,
               mask: jax.Array) -> jax.Array:
-        """Δ/ΔΔ + padding mask on the ``[T_pad, dct_num]`` cepstra."""
+        """CMVN → Δ/ΔΔ → padding mask on the ``[T_pad, dct_num]``
+        cepstra (CMVN flag-gated, see :class:`FrontendConfig.cmvn`; the
+        reference pipeline it extends is ``AudioProcessing.py:416-448``,
+        which has no normalization stage)."""
         cfg = self.cfg
+        if cfg.cmvn:
+            # masked per-utterance statistics: padding must not leak
+            # into the mean/variance (pad rows are rewritten by the
+            # delta edge replication and the final mask anyway).  The
+            # optional pitch column is excluded — its 0 encodes
+            # "unvoiced", a sentinel a mean shift would destroy
+            nc = cfg.dct_num
+            valid = mask[:, None]
+            denom = jnp.maximum(t_true, 1).astype(ceps.dtype)
+            cep = ceps[:, :nc]
+            mean = jnp.sum(jnp.where(valid, cep, 0.0), axis=0) / denom
+            cep = cep - mean[None, :]
+            if cfg.cmvn_var:
+                var = jnp.sum(jnp.where(valid, cep * cep, 0.0),
+                              axis=0) / denom
+                cep = cep * jax.lax.rsqrt(var + 1e-8)[None, :]
+            ceps = jnp.concatenate([cep, ceps[:, nc:]], axis=-1)
         feats = ceps
         if cfg.delta_1:
             d1 = self._delta(ceps, t_true)

@@ -137,3 +137,68 @@ class TestVad:
         assert n == 4
         assert np.array_equal(packed[:4], feats[mask])
         assert np.all(packed[4:] == 0)
+
+
+class TestCmvn:
+    """Flag-gated per-utterance cepstral mean/variance normalization
+    (frontend.cmvn / cmvn_var; the reference pipeline has none,
+    ``AudioProcessing.py:416-448``)."""
+
+    def test_masked_moments(self):
+        """Valid-frame cepstra are zero-mean (unit-variance with
+        cmvn_var), padding stays zeroed, stats ignore padding."""
+        sig = synth_speechlike(12000, seed=3)
+        fe = Frontend(FrontendConfig(cmvn=True, cmvn_var=True))
+        padded = np.zeros(20000, np.float32)
+        padded[:12000] = sig
+        feats, mask = fe.mfcc(padded, n_samples=12000)
+        f = np.asarray(feats)
+        m = np.asarray(mask)
+        t = int(m.sum())
+        cep = f[:t, :13]
+        assert np.allclose(cep.mean(axis=0), 0.0, atol=1e-4)
+        assert np.allclose(cep.var(axis=0), 1.0, atol=1e-2)
+        assert np.allclose(f[t:], 0.0)
+
+    def test_gain_invariance(self):
+        """A constant channel gain shifts log-spectra by a constant per
+        coefficient; CMVN must cancel it (the property that makes it
+        the standard channel/noise remedy)."""
+        sig = synth_speechlike(12000, seed=4) + 50.0  # keep bins off the floor
+        fe = Frontend(FrontendConfig(cmvn=True))
+        f1, m1 = fe.mfcc(sig)
+        f2, m2 = fe.mfcc(3.0 * sig)
+        t = int(np.asarray(m1).sum())
+        assert np.allclose(np.asarray(f1)[:t], np.asarray(f2)[:t],
+                           atol=2e-2)
+        # without CMVN the same pair differs materially (c0 shifts by
+        # log gain)
+        fe0 = Frontend(FrontendConfig())
+        g1, _ = fe0.mfcc(sig)
+        g2, _ = fe0.mfcc(3.0 * sig)
+        assert abs(np.asarray(g1)[t // 2, 0]
+                   - np.asarray(g2)[t // 2, 0]) > 0.5
+
+    def test_deltas_ride_normalized_stream(self):
+        """Δ columns are the regression of the *normalized* cepstra."""
+        sig = synth_speechlike(12000, seed=5)
+        fe = Frontend(FrontendConfig(cmvn=True))
+        feats, mask = fe.mfcc(sig)
+        t = int(np.asarray(mask).sum())
+        f = np.asarray(feats)[:t]
+        # oracle: ±2 regression deltas of the normalized static part
+        cep = f[:, :13]
+        denom = 2 * (1 + 4)
+        pad = np.pad(cep, ((2, 2), (0, 0)), mode="edge")
+        want = sum(k * pad[2 + k: 2 + k + t] for k in (-2, -1, 1, 2)) / denom
+        assert np.allclose(f[:, 13:26], want, atol=1e-4)
+
+    def test_pitch_column_excluded(self):
+        """CMVN leaves the voiced/unvoiced pitch sentinel untouched."""
+        sig = synth_speechlike(12000, seed=6)
+        fa = Frontend(FrontendConfig(pitch=True))
+        fb = Frontend(FrontendConfig(pitch=True, cmvn=True))
+        f1, m = fa.mfcc(sig)
+        f2, _ = fb.mfcc(sig)
+        t = int(np.asarray(m).sum())
+        assert np.allclose(np.asarray(f1)[:t, 13], np.asarray(f2)[:t, 13])
