@@ -178,6 +178,9 @@ class TrainConfig:
     # SMEM (Clustering.py:483-577)
     smem: bool = True
     smem_c_max: int = 5
+    # 'batched': whole-bank SMEM in O(1) device programs (production);
+    # 'serial': the per-senone host loop (oracle; O(S) dispatches)
+    smem_impl: str = "batched"
     add_mix: bool = False           # grow mixtures between rounds (Controller.py:153-159)
     seed: int = 0
 
