@@ -197,6 +197,17 @@ def cmd_decode(args):
             nf[i] = n
         kwargs = {"mesh": mesh} if mesh is not None else {}
         outs = dec.decode_batch(feats_b, nf, return_nbest=5, **kwargs)
+    if args.rescore_lm:
+        # two-pass higher-order LM: bigram decode, n-best rescore
+        # (Decoder.py:201-204 builds Ngram(k) per order 1..n; the
+        # rescorer is where orders above 2 actually apply)
+        from poccala_tpu.decoder.rescore import rescore_nbest
+        from poccala_tpu.lm import Ngram
+
+        rlm = Ngram(args.rescore_order)
+        rlm.init_gram(args.rescore_lm)
+        outs = rescore_nbest(outs, lm, rlm, dec.lm_weight,
+                             dec.word_penalty)
     for path, hyps in zip(args.wavs, outs):
         print(json.dumps({
             "wav": path,
@@ -457,6 +468,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--lexicon", required=True)
     d.add_argument("--lm")
     d.add_argument("--lm-order", type=int, default=2)
+    d.add_argument("--rescore-lm",
+                   help="rescore the n-best with this (higher-order) "
+                        "LM after decoding")
+    d.add_argument("--rescore-order", type=int, default=3)
     d.add_argument("--beam", type=float, default=0.85)
     d.add_argument("--decoder", choices=("vector", "device", "simple"),
                    default="vector",

@@ -32,6 +32,12 @@ class VectorBeamDecoder(BeamDecoder):
     """Batched, vectorized token passing.  Construction arguments match
     :class:`BeamDecoder`."""
 
+    #: word-boundary restarts kept per utterance per frame (strongest
+    #: emissions first) — each restart fans out over every first-level
+    #: node, so this bounds the pre-recombination pool at reference-
+    #: scale lexicons; mirrors the device tier's top-16 LM emission rule
+    restart_top = 16
+
     # ------------------------------------------------------------------
     def _prep_tables(self):
         """Padded child table + word table (once per decoder)."""
@@ -189,6 +195,22 @@ class VectorBeamDecoder(BeamDecoder):
                     words = w_flat[okw]
                     lm = self._lm_lookup(last_word[srcw], words)
                     base = exits[srcw] + lm
+                    # cap word restarts per utterance at the strongest
+                    # emissions: each one fans out over every root
+                    # (len(roots) can be 500+ at reference scale), so
+                    # unbounded emissions made the pre-recombination
+                    # pool quadratic-ish per frame.  The device tier
+                    # applies the same idea (top-16 LM emissions).
+                    cap = self.restart_top
+                    if len(words) > cap:
+                        o = np.lexsort((-base, utt[srcw]))
+                        us = utt[srcw][o]
+                        cnt = np.bincount(us, minlength=b)
+                        st = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                        rk = np.arange(len(us)) - st[us]
+                        keep = o[rk < cap]
+                        srcw, words, base = srcw[keep], words[keep], \
+                            base[keep]
                     # new traceback entries
                     ptrs = np.arange(len(tb_prev),
                                      len(tb_prev) + len(words), dtype=np.int32)
