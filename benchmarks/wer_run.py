@@ -107,7 +107,24 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
         def note(self, *a, **k):
             pass
 
+    def forward_f64(log_a, log_pi, log_b):
+        """f64 oracle of our forward recursion — separates algorithmic
+        parity from f32 precision drift (tests/test_parity_drift.py:
+        the round-3 flagship's 1.1e-2 'gap' was f32 accumulation at
+        floor-variance magnitudes, not an algorithm difference)."""
+        alpha = log_pi + log_b[0]
+        for bt in log_b[1:]:
+            m = alpha[:, None] + log_a
+            mx = m.max(axis=0)
+            safe = np.where(mx > NEG_INF / 2, mx, 0.0)
+            s = np.log(np.exp(np.maximum(m - safe, -745.0)).sum(axis=0))
+            alpha = np.maximum(
+                np.where(mx > NEG_INF / 2, safe + s, NEG_INF) + bt, NEG_INF)
+        mx = alpha.max()
+        return mx + np.log(np.exp(np.maximum(alpha - mx, -745.0)).sum())
+
     max_ll_diff = 0.0
+    max_ll_diff_f64 = 0.0
     paths_equal = 0
     lls = []
     n_done = 0
@@ -132,18 +149,21 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
         a_lin = densify_band(band)[:n_s, :n_s]
 
         # ---- ours (the production scan kernels)
+        log_a = np.where(a_lin > 0, np.log(np.maximum(a_lin, 1e-300)),
+                         NEG_INF)
         la, ll_ours = hmm.forward_log(
-            jnp.asarray(np.where(a_lin > 0, np.log(np.maximum(a_lin, 1e-300)),
-                                 NEG_INF)),
+            jnp.asarray(log_a),
             jnp.asarray(log_pi), jnp.asarray(prob.T.astype(np.float32)),
             jnp.ones(t_n, bool),
         )
         sc_ours, path_ours, _ = hmm.viterbi_log(
-            jnp.asarray(np.where(a_lin > 0, np.log(np.maximum(a_lin, 1e-300)),
-                                 NEG_INF)),
+            jnp.asarray(log_a),
             jnp.asarray(log_pi), jnp.asarray(prob.T.astype(np.float32)),
             jnp.ones(t_n, bool),
         )
+        ll_f64 = forward_f64(
+            log_a.astype(np.float64), log_pi.astype(np.float64),
+            prob.T.astype(np.float32).astype(np.float64))
 
         # ---- the reference, executed
         states = {i: i for i in range(n_s)}
@@ -157,6 +177,9 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
 
         diff = abs(float(ll_ours) - float(ref_ll))
         max_ll_diff = max(max_ll_diff, diff / max(abs(float(ref_ll)), 1.0))
+        diff64 = abs(float(ll_f64) - float(ref_ll))
+        max_ll_diff_f64 = max(
+            max_ll_diff_f64, diff64 / max(abs(float(ref_ll)), 1.0))
         paths_equal += int(np.array_equal(
             np.asarray(path_ours), ref_path.astype(int)))
         lls.append(float(ll_ours))
@@ -164,6 +187,12 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
     return {
         "available": True,
         "n_utts": n_done,
+        # algorithmic parity: our recursion in f64 vs the executed
+        # reference (expected ~1e-12)
+        "max_rel_loglik_diff_f64": max_ll_diff_f64,
+        # production kernel (f32, renormalized+Kahan) vs the reference:
+        # residual is f32 precision, magnitude-dependent
+        # (tests/test_parity_drift.py)
         "max_rel_loglik_diff": max_ll_diff,
         "viterbi_paths_identical": paths_equal,
         "logliks": lls,
@@ -172,7 +201,7 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="WER_r03.json")
+    ap.add_argument("--out", default="WER_r04.json")
     ap.add_argument("--workdir", default="/tmp/wer_proxy")
     ap.add_argument("--vocab", type=int, default=300)
     ap.add_argument("--train-utts", type=int, default=1200)
@@ -191,6 +220,14 @@ def main():
                     help="multi-condition training: mix babble into "
                          "each TRAIN utterance at a uniform-random SNR "
                          "from this dB range (e.g. 10:25)")
+    ap.add_argument("--cmvn", action="store_true",
+                    help="per-utterance cepstral mean normalization "
+                         "(frontend.cmvn) — the standard channel/noise "
+                         "remedy, flag-gated")
+    ap.add_argument("--rescore-order", type=int, default=0,
+                    help="if >2, additionally rescore the device n-best "
+                         "with an N-gram of this order trained on the "
+                         "train transcripts (two-pass decode)")
     args = ap.parse_args()
 
     import jax
@@ -241,10 +278,22 @@ def main():
                                                   mix_at_snr)
 
         t0 = time.time()
-        babble = make_babble_track(vocab[:120], py, duration_s=30.0,
-                                   n_talkers=6, seed=args.seed + 5)
+        # SEPARATE noise tracks for train and test (distinct seeds,
+        # disjoint talker-vocabulary slices): the test babble waveform
+        # is never seen during multi-condition training, so the noisy
+        # WER measures robustness to unseen noise (round-3 used one
+        # shared track — its noise numbers were optimistic)
+        babble_seed_tr = args.seed + 5
+        babble_seed_te = args.seed + 6
+        half = len(vocab) // 2
+        babble_tr = make_babble_track(vocab[:half][:120], py,
+                                      duration_s=30.0, n_talkers=6,
+                                      seed=babble_seed_tr)
+        babble_te = make_babble_track(vocab[half:][:120], py,
+                                      duration_s=30.0, n_talkers=6,
+                                      seed=babble_seed_te)
 
-        def noisify(audio_dir, snr_lo, snr_hi, seed):
+        def noisify(audio_dir, babble, snr_lo, snr_hi, seed):
             rng = np.random.default_rng(seed)
             n = 0
             for name in sorted(os.listdir(audio_dir)):
@@ -260,11 +309,11 @@ def main():
 
         if args.train_noise_snr:
             lo, hi = (float(x) for x in args.train_noise_snr.split(":"))
-            n = noisify(a_tr, lo, hi, args.seed + 31)
+            n = noisify(a_tr, babble_tr, lo, hi, args.seed + 31)
             log(f"multi-condition train: babble at U[{lo},{hi}] dB "
                 f"over {n} utts")
         if args.noise_snr is not None:
-            n = noisify(a_te, args.noise_snr, args.noise_snr,
+            n = noisify(a_te, babble_te, args.noise_snr, args.noise_snr,
                         args.seed + 32)
             log(f"noisy test: babble at {args.noise_snr} dB over {n} utts")
         log(f"babble mixing took {time.time()-t0:.0f}s")
@@ -275,6 +324,7 @@ def main():
     cfg.model.mix_level = 2
     cfg.model.max_mix_level = 6
     cfg.frontend.pitch = bool(args.pitch)
+    cfg.frontend.cmvn = bool(args.cmvn)
     cfg.train.label_format = "pinyin"
     cfg.train.load_line = 1
     cfg.train.max_frames = 512
@@ -380,24 +430,46 @@ def main():
     feat_s = time.time() - t0
 
     t0 = time.time()
-    hyps = []
+    nb = 8 if args.rescore_order > 2 else 1
+    nbest_all = []
     for lo in range(0, len(feats), 128):
-        out = dec.decode_batch(feats[lo: lo + 128], nf[lo: lo + 128])
-        hyps.extend(
-            [w for w in h[0].words if w != "<sil>"] if h else []
-            for h in out
-        )
+        nbest_all.extend(dec.decode_batch(
+            feats[lo: lo + 128], nf[lo: lo + 128], return_nbest=nb))
+    hyps = [[w for w in h[0].words if w != "<sil>"] if h else []
+            for h in nbest_all]
     decode_s = time.time() - t0
     res = wer_fn(refs, hyps)
     log(f"decoded {len(hyps)} utts ({audio_seconds:.0f} audio-s) "
         f"in {decode_s:.0f}s (+{feat_s:.0f}s frontend)")
     log(f"WER={res.wer:.3f} SER={res.ser:.3f}")
 
+    # optional two-pass trigram: bigram decode n-best, higher-order
+    # rescore (Decoder.py:201-204 per-order Ngram intent)
+    rescore_block = None
+    if args.rescore_order > 2:
+        from poccala_tpu.decoder.rescore import rescore_nbest
+
+        tri = Ngram(args.rescore_order)
+        tri.train([words for _, words in trans_tr])
+        re_lists = rescore_nbest(nbest_all, lm, tri, best_w, best_pen)
+        hyps_re = [[w for w in h[0].words if w != "<sil>"] if h else []
+                   for h in re_lists]
+        res_re = wer_fn(refs, hyps_re)
+        rescore_block = {
+            "order": args.rescore_order,
+            "nbest": nb,
+            "wer": round(res_re.wer, 4),
+            "ser": round(res_re.ser, 4),
+            "wer_delta_vs_bigram": round(res_re.wer - res.wer, 4),
+        }
+        log(f"trigram-rescored WER={res_re.wer:.3f} "
+            f"(bigram {res.wer:.3f})")
+
     parity = parity_check(bank, batches[0], cfg)
     log(f"parity: {parity}")
 
     artifact = {
-        "artifact": "WER_r03",
+        "artifact": os.path.splitext(os.path.basename(args.out))[0],
         "corpus": "formant-synthesized Mandarin proxy (coarticulated "
                   "source-filter synthesis, 8 train / 3 unseen test "
                   "speakers)",
@@ -422,7 +494,13 @@ def main():
                               "(make_babble_track)",
                       "test_snr_db": args.noise_snr,
                       "train_snr_db": args.train_noise_snr or "clean",
+                      # distinct tracks: test noise unseen in training
+                      "train_babble_seed": args.seed + 5,
+                      "test_babble_seed": args.seed + 6,
+                      "disjoint_talker_vocab": True,
                   }),
+        "cmvn": bool(args.cmvn),
+        "rescore": rescore_block,
         "vocab_uniqueness": ("pronunciation-unique incl. tone"
                              if args.pitch else
                              "pronunciation-unique ignoring tone"),
