@@ -39,11 +39,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BLOCK = 1024
-ACTIVE = (4, 8)
+# (block_size, active_blocks) pruning variants; None = exact search
+VARIANTS = (None, (1024, 4), (1024, 8), (512, 4), (512, 8))
 SMALL = bool(os.environ.get("POCCALA_FV_SMALL"))  # CPU smoke mode
 if SMALL:
-    BLOCK, ACTIVE = 64, (2,)
+    VARIANTS = (None, (64, 2))
 
 
 def log(msg):
@@ -105,11 +105,13 @@ def main():
         n_samp = jnp.asarray(np.full((batch,), n_samples, np.int64))
         feats, masks = mfcc(signals, n_samp)
         nf = np.asarray(masks.sum(axis=1), np.int32)
-        for active in (None,) + tuple(ACTIVE):
+        for var in VARIANTS:
+            blk, active = var if var else (1024, None)
             dec = DeviceBeamDecoder(
-                bank, flat, block_size=BLOCK,
+                bank, flat, block_size=blk,
                 active_blocks=active)
-            tag = "exact" if active is None else f"pruned{active}"
+            tag = ("exact" if active is None
+                   else f"pruned{active}x{blk}")
             tc = time.time()
             dec.decode_batch(feats, nf)          # warm/compile
             compile_s = time.time() - tc
@@ -128,7 +130,7 @@ def main():
                 "lexicon_nodes": int(flat.n_nodes),
                 "senones": int(bank.num_states),
                 "batch": batch,
-                "block_size": BLOCK if active else None,
+                "block_size": blk if active else None,
                 "active_blocks": active,
                 "decode_audio_s_per_s": round(
                     batch * utt_seconds / dt, 1),
@@ -188,8 +190,11 @@ def main():
 
         exact = DeviceBeamDecoder(sbank, flat)
         h_ex = exact.decode_batch(fb, nf)
-        for active in ACTIVE:
-            pruned = DeviceBeamDecoder(sbank, flat, block_size=BLOCK,
+        for var in VARIANTS:
+            if var is None:
+                continue
+            blk, active = var
+            pruned = DeviceBeamDecoder(sbank, flat, block_size=blk,
                                        active_blocks=active)
             h_pr = pruned.decode_batch(fb, nf)
             pruned._prep_device()
@@ -206,7 +211,7 @@ def main():
             row = {
                 "noise": noise,
                 "active_blocks": active,
-                "block_size": BLOCK,
+                "block_size": blk,
                 "n_utts": n_utts,
                 "agreement_rate": round(agree / n_utts, 4),
                 "ter_exact": round(err_ex / ntok, 4),

@@ -454,109 +454,152 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             word_row = jnp.where(active, word_row, -1)
             return (deltas, ctx), (prev_row, word_row)
 
-        def step_pruned(carry, inp):
-            """Block-pruned frame update (``active_blocks``): the banded
-            advance + exit flow run only on the K best-scoring blocks
-            (dynamic ROW gathers — fast on TPU, unlike point gathers);
-            unselected blocks are pruned to log-zero.  Entry bookkeeping
-            (parent flow, word re-entry, emissions) stays global on flat
-            [N]/[Q] vectors, so pruned subtrees revive the moment a word
-            boundary or a live parent feeds their entry state."""
+        def make_pruned():
+            """Block-pruned frame machinery (``active_blocks``) with a
+            **compact carry**: only the K active blocks' token scores
+            live in the scan carry ([K, blk, Ns] instead of [N, Ns]),
+            plus the global entry row and its context ([N]).  The v1
+            form kept full-size deltas/ctx and masked — measured SLOWER
+            than the exact search at 21.6k nodes (benchmarks/
+            decode_fullvocab.json: 363 vs 476 audio-s/s) because every
+            frame still paid O(N*Ns) carry reads/writes plus full-size
+            lookahead and write-back scatters.  Here the only remaining
+            O(N*Ns) term is the per-frame acoustic-score gather feeding
+            the block-selection lookahead (fused by XLA into its [N]
+            reduce); everything else is O(K*blk*Ns + N).
+
+            Semantics match v1 exactly: per frame the K best blocks by
+            one-step lookahead (best token incl. the entry row + best
+            emitting acoustic score in the block) run the banded
+            advance; unselected blocks lose their interior mass and
+            revive through word re-entry / parent flow into their entry
+            states, which stay global."""
             blk = self.block_size
             n_blk = n_nodes // blk
             k_act = int(self.active_blocks)
             bands4 = bands.reshape(n_blk, blk, n_s, w_band)
 
-            deltas, ctx = carry
-            frame_scores, ti, active = inp
-            d3 = deltas.reshape(n_blk, blk, n_s)
-            c3 = ctx.reshape(n_blk, blk, n_s)
-            log_b_full = jnp.where(
-                senone >= 0, frame_scores[jnp.clip(senone, 0, None)],
-                NEG_INF)                                     # static gather
-            lb3 = log_b_full.reshape(n_blk, blk, n_s)
+            def step_pruned(carry, inp):
+                kb, d_act, c_act, entry, entry_ctx = carry
+                frame_scores, ti, active = inp
 
-            # 0. block selection: per-NODE one-step lookahead — best
-            # current token score plus the node's best *emitting*
-            # acoustic score for this frame (lb3 is NEG_INF on the
-            # non-emitting entry/exit rows, so the max ranges over real
-            # senones), then max per block.  The acoustic term is what
-            # separates blocks at t=0, when every root child carries the
-            # same 0.0 seed: log-densities are typically negative, so
-            # any floor at 0 here would erase the lookahead and make
-            # top_k pick blocks by index — exactly the matching-subtree
-            # drop this term exists to prevent
-            node_pot = jnp.max(d3, axis=2) + jnp.max(lb3, axis=2)
-            blk_best = jnp.max(node_pot, axis=1)             # [n_blk]
-            _, kb = jax.lax.top_k(blk_best, k_act)           # [K]
+                # 0. block selection: per-node one-step lookahead.
+                # Acoustic term: best emitting log-density of the node
+                # this frame (non-emitting rows gather NEG_INF).  The
+                # full [N, Ns] gather feeds a [N] max — XLA fuses the
+                # gather into the reduce, so no [N, Ns] materialization
+                lb_full = jnp.where(
+                    senone >= 0,
+                    frame_scores[jnp.clip(senone, 0, None)], NEG_INF)
+                la = jnp.max(lb_full, axis=1)               # [N]
+                pot = entry + la                            # entry row
+                blk_best = jnp.max(pot.reshape(n_blk, blk), axis=1)
+                la_act = la.reshape(n_blk, blk)[kb]         # row gather
+                int_pot = jnp.max(
+                    jnp.max(d_act, axis=2) + la_act, axis=1)    # [K]
+                blk_best = blk_best.at[kb].max(int_pot)
+                _, kb_new = jax.lax.top_k(blk_best, k_act)
 
-            # 1. gather active blocks (row gathers)
-            d = d3[kb]                                       # [K, blk, Ns]
-            c = c3[kb]
-            bz = bands4[kb]                                  # [K, blk, Ns, W]
-            log_b = lb3[kb]
-            log_b = log_b.at[..., 0].set(0.0)
+                # 1. carry remap old->new active set: surviving blocks
+                # keep their interior, fresh ones revive dead; every
+                # active block's entry state refreshes from the global
+                # entry row (the exact step does the same via
+                # deltas[:, 0])
+                eq = kb_new[:, None] == kb[None, :]
+                found = eq.any(axis=1)
+                src = jnp.argmax(eq, axis=1)
+                d = jnp.where(found[:, None, None], d_act[src], NEG_INF)
+                c = jnp.where(found[:, None, None], c_act[src], ctx_dead)
+                d = d.at[:, :, 0].set(entry.reshape(n_blk, blk)[kb_new])
+                c = c.at[:, :, 0].set(
+                    entry_ctx.reshape(n_blk, blk)[kb_new])
 
-            # 2. banded in-node advance on active blocks only
-            best = jnp.full_like(d, NEG_INF)
-            bctx = jnp.full(c.shape, ctx_dead)
-            for k in range(w_band):
-                cand = d + bz[..., k]
-                cctx = c
-                if k:
-                    cand = jnp.concatenate(
-                        [jnp.full((k_act, blk, k), NEG_INF),
-                         cand[..., :-k]], axis=-1)
-                    cctx = jnp.concatenate(
-                        [jnp.full((k_act, blk, k), ctx_dead, jnp.int32),
-                         c[..., :-k]], axis=-1)
-                win = cand > best
-                best = jnp.where(win, cand, best)
-                bctx = jnp.where(win, cctx, bctx)
-            d_new = jnp.maximum(best + log_b, NEG_INF)
-            ctx_adv = bctx
+                bz = bands4[kb_new]                     # [K, blk, Ns, W]
+                log_b = lb_full.reshape(n_blk, blk, n_s)[kb_new]
+                log_b = log_b.at[..., 0].set(0.0)
 
-            # 3. exit flow of active blocks, scattered to flat [N]
-            ex_k = jnp.full((k_act, blk), NEG_INF)
-            exc_k = jnp.full((k_act, blk), ctx_dead)
-            for k in range(1, w_band):
-                rr = n_s - 1 - k
-                if rr < 0:
-                    continue
-                cand = d_new[..., rr] + bz[..., rr, k]
-                win = cand > ex_k
-                ex_k = jnp.where(win, cand, ex_k)
-                exc_k = jnp.where(win, ctx_adv[..., rr], exc_k)
-            ex = jnp.full((n_blk, blk), NEG_INF).at[kb].set(
-                ex_k).reshape(-1)
-            ex_ctx = jnp.full((n_blk, blk), ctx_dead,
-                              jnp.int32).at[kb].set(exc_k).reshape(-1)
+                # 2. banded in-node advance on active blocks only
+                best = jnp.full_like(d, NEG_INF)
+                bctx = jnp.full(c.shape, ctx_dead)
+                for k in range(w_band):
+                    cand = d + bz[..., k]
+                    cctx = c
+                    if k:
+                        cand = jnp.concatenate(
+                            [jnp.full((k_act, blk, k), NEG_INF),
+                             cand[..., :-k]], axis=-1)
+                        cctx = jnp.concatenate(
+                            [jnp.full((k_act, blk, k), ctx_dead,
+                                      jnp.int32),
+                             c[..., :-k]], axis=-1)
+                    win = cand > best
+                    best = jnp.where(win, cand, best)
+                    bctx = jnp.where(win, cctx, bctx)
+                d_new = jnp.maximum(best + log_b, NEG_INF)
+                ctx_adv = bctx
 
-            # 4-5. emission + entry refresh: global flat vectors
-            e_score, prev_row, word_row = emissions(ex, ex_ctx)
-            flow = jnp.where(parent >= 0,
-                             ex[jnp.clip(parent, 0, None)], NEG_INF)
-            flow_ctx = ex_ctx[jnp.clip(parent, 0, None)]
-            restart = jnp.where(is_rc, e_score, NEG_INF)
-            use_restart = restart > flow
-            entry = jnp.maximum(flow, restart)
-            re_ctx = (ti + 1) * vp1 + jnp.where(word_row >= 0, word_row, v)
-            entry_ctx = jnp.where(use_restart, re_ctx, flow_ctx)
+                # 3. exit flow of active blocks, scattered to flat [N]
+                ex_k = jnp.full((k_act, blk), NEG_INF)
+                exc_k = jnp.full((k_act, blk), ctx_dead)
+                for k in range(1, w_band):
+                    rr = n_s - 1 - k
+                    if rr < 0:
+                        continue
+                    cand = d_new[..., rr] + bz[..., rr, k]
+                    win = cand > ex_k
+                    ex_k = jnp.where(win, cand, ex_k)
+                    exc_k = jnp.where(win, ctx_adv[..., rr], exc_k)
+                ex = jnp.full((n_blk, blk), NEG_INF).at[kb_new].set(
+                    ex_k).reshape(-1)
+                ex_ctx = jnp.full((n_blk, blk), ctx_dead,
+                                  jnp.int32).at[kb_new].set(
+                    exc_k).reshape(-1)
 
-            # 6. write back: unselected blocks are pruned to log-zero
-            d_out = jnp.full((n_blk, blk, n_s), NEG_INF).at[kb].set(
-                d_new).reshape(n_nodes, n_s)
-            c_out = jnp.full((n_blk, blk, n_s), ctx_dead,
-                             jnp.int32).at[kb].set(ctx_adv).reshape(
-                n_nodes, n_s)
-            d_out = d_out.at[:, 0].set(entry)
-            c_out = c_out.at[:, 0].set(entry_ctx)
+                # 4-5. emission + entry refresh: global flat [N]/[Q]
+                e_score, prev_row, word_row = emissions(ex, ex_ctx)
+                flow = jnp.where(parent >= 0,
+                                 ex[jnp.clip(parent, 0, None)], NEG_INF)
+                flow_ctx = ex_ctx[jnp.clip(parent, 0, None)]
+                restart = jnp.where(is_rc, e_score, NEG_INF)
+                use_restart = restart > flow
+                entry_new = jnp.maximum(flow, restart)
+                re_ctx = (ti + 1) * vp1 + jnp.where(
+                    word_row >= 0, word_row, v)
+                entry_ctx_new = jnp.where(use_restart, re_ctx, flow_ctx)
 
-            deltas = jnp.where(active, d_out, deltas)
-            ctx = jnp.where(active, c_out, ctx)
-            prev_row = jnp.where(active, prev_row, -1)
-            word_row = jnp.where(active, word_row, -1)
-            return (deltas, ctx), (prev_row, word_row)
+                # 6. freeze everything on inactive (padded) frames
+                kb_o = jnp.where(active, kb_new, kb)
+                d_o = jnp.where(active, d_new, d_act)
+                c_o = jnp.where(active, ctx_adv, c_act)
+                entry_o = jnp.where(active, entry_new, entry)
+                ectx_o = jnp.where(active, entry_ctx_new, entry_ctx)
+                prev_row = jnp.where(active, prev_row, -1)
+                word_row = jnp.where(active, word_row, -1)
+                return (kb_o, d_o, c_o, entry_o, ectx_o), \
+                    (prev_row, word_row)
+
+            def seed_pruned():
+                entry0 = jnp.where(is_rc, 0.0, NEG_INF)
+                ectx0 = jnp.full((n_nodes,), ctx_dead, jnp.int32)
+                kb0 = jnp.arange(k_act, dtype=jnp.int32)
+                d0 = jnp.full((k_act, blk, n_s), NEG_INF)
+                d0 = d0.at[:, :, 0].set(entry0.reshape(n_blk, blk)[kb0])
+                c0 = jnp.full((k_act, blk, n_s), ctx_dead, jnp.int32)
+                return (kb0, d0, c0, entry0, ectx0)
+
+            def expand_pruned(carry):
+                """Compact carry -> full (deltas, ctx) for finalize /
+                exit_of (one-time cost at the end of the scan)."""
+                kb, d_act, c_act, entry, entry_ctx = carry
+                d3 = jnp.full((n_blk, blk, n_s), NEG_INF).at[kb].set(
+                    d_act)
+                c3 = jnp.full((n_blk, blk, n_s), ctx_dead,
+                              jnp.int32).at[kb].set(c_act)
+                deltas = d3.reshape(n_nodes, n_s).at[:, 0].set(entry)
+                ctx = c3.reshape(n_nodes, n_s).at[:, 0].set(entry_ctx)
+                return deltas, ctx
+
+            return step_pruned, seed_pruned, expand_pruned
 
         def seed():
             deltas0 = jnp.full((n_nodes, n_s), NEG_INF)
@@ -565,8 +608,8 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             return (deltas0, ctx0)
 
         if getattr(self, "_prune_on", False):
-            return step_pruned, seed, exit_of
-        return step, seed, exit_of
+            return make_pruned() + (exit_of,)
+        return step, seed, (lambda carry: carry), exit_of
 
     def _build_finalize(self, n_cand: int):
         """Device n-best: final exits -> top emissions over the static
@@ -583,10 +626,10 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         l_max = self.max_words
         n_cand = min(n_cand, int(q))
         r_fin = int(min(q, max(32, 2 * n_cand)))
-        _, _, exit_of = self._build_step()
+        _, _, expand, exit_of = self._build_step()
 
         def finalize(carry, tb_prev, tb_word):
-            deltas, ctx = carry
+            deltas, ctx = expand(carry)
             ex, ex_ctx = exit_of(deltas, ctx)
             ex_q = ex[node_slot]
             ctx_q = ex_ctx[node_slot]
@@ -630,7 +673,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         import jax
         import jax.numpy as jnp
 
-        step, seed, _ = self._build_step()
+        step, seed, _, _ = self._build_step()
         finalize = self._build_finalize(n_cand)
 
         def run(feats_b, n_frames_b):
@@ -808,7 +851,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             cache = self._chunk_cache = {}
         if t_c in cache:
             return cache[t_c]
-        step, _, _ = self._build_step()
+        step, _, _, _ = self._build_step()
 
         def run_chunk(carry_b, feats_b, t0, n_valid_b):
             scores_b = self._scores_in_graph(feats_b)
@@ -830,7 +873,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         import jax
         import jax.numpy as jnp
 
-        _, seed, _ = self._build_step()
+        _, seed, _, _ = self._build_step()
 
         def make(batch: int):
             one = seed()
