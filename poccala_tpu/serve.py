@@ -15,7 +15,11 @@ JAX dispatch is asynchronous — it returns as soon as the program is
 enqueued — so while batch *k* executes on device, the service pads and
 dispatches batch *k+1* and only then blocks on batch *k*'s results:
 classic double buffering, one batch of latency for full host/device
-overlap.
+overlap.  Batch filling is **adaptive**: while a batch is in flight,
+the gather window extends to the (EMA-estimated) device completion
+time — waiting then is free, and every request gathered replaces a
+dead padded slot, so effective capacity stays near the saturated rate
+even at low offered load (``benchmarks/serve_bench.json``).
 
 Shapes are kept jit-cache-friendly: batch size is fixed (short batches
 are padded with dead utterances, ``n_frames = 0``) and frame counts are
@@ -104,6 +108,9 @@ class DecodeService:
         self.return_nbest = int(return_nbest)
         self.mesh = mesh
         self.stats = ServiceStats()
+        # EMA of device batch time, learned online; drives the adaptive
+        # gather window (fill the next batch while the current one runs)
+        self._ema_batch_s = 0.0
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()  # serializes submit vs close
@@ -171,22 +178,35 @@ class DecodeService:
     # worker
     # ------------------------------------------------------------------
 
-    def _gather_batch(self, block: bool):
+    def _gather_batch(self, block: bool, until: float | None = None):
         """Collect up to ``batch_size`` requests.  When ``block``, wait
-        indefinitely for the first one; otherwise return ``[]`` if the
+        indefinitely for the first one; with ``until`` (a monotonic
+        deadline), wait for the first request up to that instant —
+        used while a batch is in flight, when waiting costs nothing
+        (the device is busy anyway); otherwise return ``[]`` if the
         queue is momentarily empty (the caller then resolves the
         in-flight batch instead of holding its futures hostage).  After
-        the first request, fill for at most ``max_wait_s``.  ``None``
-        items are shutdown wake-ups, not requests."""
+        the first request, fill for ``max_wait_s`` or until ``until``,
+        whichever is later.  ``None`` items are shutdown wake-ups, not
+        requests."""
         reqs = []
         try:
-            item = self._q.get() if block else self._q.get_nowait()
+            if block:
+                item = self._q.get()
+            elif until is not None and not self._closed:
+                t = until - time.monotonic()
+                item = self._q.get(timeout=t) if t > 0 \
+                    else self._q.get_nowait()
+            else:
+                item = self._q.get_nowait()
         except queue.Empty:
             return reqs
         if item is None:
             return reqs
         reqs.append(item)
         deadline = time.monotonic() + self.max_wait_s
+        if until is not None:
+            deadline = max(deadline, until)
         while len(reqs) < self.batch_size:
             remain = deadline - time.monotonic()
             try:
@@ -223,10 +243,16 @@ class DecodeService:
             feats, nf, return_nbest=self.return_nbest, mesh=self.mesh)
 
     def _resolve(self, pending):
-        handle, reqs = pending
+        handle, reqs, t_disp = pending
         try:
             outs = self.decoder.decode_collect(handle)
             now = time.monotonic()
+            # dispatch -> results-fetched is the adaptive gather
+            # window's estimate of device busy time (slight
+            # overestimate: includes host id->word; self-correcting)
+            busy = now - t_disp
+            self._ema_batch_s = (busy if self._ema_batch_s == 0.0
+                                 else 0.7 * self._ema_batch_s + 0.3 * busy)
             for (_, _, fut, t_sub), hyps in zip(reqs, outs):
                 self.stats.latencies_s.append(now - t_sub)
                 fut.set_result(hyps)
@@ -238,14 +264,23 @@ class DecodeService:
     def _loop(self):
         pending = None  # (handle, reqs) executing on device
         while True:
-            # only block for new work when nothing is in flight — an
-            # empty queue with a batch pending means the clients are
-            # waiting on results, so collect instead of waiting
-            reqs = self._gather_batch(block=pending is None)
+            # only block indefinitely for new work when nothing is in
+            # flight.  With a batch pending, gather until the device is
+            # (estimated) free: dispatching the next batch any earlier
+            # gains nothing — the chip is busy — while every extra
+            # request gathered replaces a dead padded slot.  Without
+            # this, low offered load degenerates to ~1-request batches
+            # whose padding wastes (B-1)/B of device capacity and the
+            # queue backs up far below saturated throughput (measured:
+            # p99 3.0 s at 0.3x load, benchmarks/serve_bench.json r04)
+            until = None
+            if pending is not None:
+                until = pending[2] + 0.9 * self._ema_batch_s
+            reqs = self._gather_batch(block=pending is None, until=until)
             nxt = None
             if reqs:
                 try:
-                    nxt = (self._dispatch(reqs), reqs)
+                    nxt = (self._dispatch(reqs), reqs, time.monotonic())
                 except Exception as e:
                     for _, _, fut, _ in reqs:
                         fut.set_exception(e)

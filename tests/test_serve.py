@@ -169,3 +169,57 @@ class TestDecodeService:
         svc.close()  # drains + fails it
         with pytest.raises(RuntimeError):
             fut.result(timeout=1)
+
+    def test_adaptive_fill_under_slow_device(self, rng):
+        """While a batch is in flight, the gather window extends to the
+        estimated device completion (waiting is free — the chip is
+        busy), so trickled arrivals fill batches instead of each paying
+        a dead-padded dispatch.  serve.py:_loop `until` logic; the
+        measured failure mode it prevents is benchmarks/serve_bench.json
+        r04's 3 s p99 at 0.3x offered load."""
+        import threading
+        import time as _time
+
+        class SlowDec:
+            """decode_dispatch/collect stub with a fixed device time."""
+
+            def __init__(self, busy_s):
+                self.busy_s = busy_s
+                self.batches = []
+
+            def decode_dispatch(self, feats, nf, return_nbest=1,
+                                mesh=None):
+                self.batches.append(int((nf > 0).sum()))
+                return (_time.monotonic() + self.busy_s, len(nf))
+
+            def decode_collect(self, handle):
+                t_done, b = handle
+                _time.sleep(max(0.0, t_done - _time.monotonic()))
+                return [[] for _ in range(b)]
+
+        dec = SlowDec(busy_s=0.25)
+        feats = np.zeros((16, 8), np.float32)
+        svc = DecodeService(dec, batch_size=4, frame_bucket=8,
+                            max_wait_s=0.001)
+        try:
+            futs = [svc.submit(feats)]
+            _time.sleep(0.3)  # first batch dispatched alone; EMA learned
+            # trickle 8 more at 40 ms spacing: within one 0.25 s device
+            # window but far apart vs max_wait_s=1 ms
+            def trickle():
+                for _ in range(8):
+                    futs.append(svc.submit(feats))
+                    _time.sleep(0.04)
+
+            th = threading.Thread(target=trickle)
+            th.start()
+            th.join()
+            for f in list(futs):
+                f.result(timeout=10)
+        finally:
+            svc.close()
+        # without the adaptive window every trickled request dispatches
+        # ~alone (8-9 batches); with it they coalesce near the device
+        # rate: first solo batch + ~ceil(8/ (0.25/0.04)) groups
+        assert len(dec.batches) <= 5, dec.batches
+        assert sum(dec.batches) == 9
