@@ -125,6 +125,7 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
 
     max_ll_diff = 0.0
     max_ll_diff_f64 = 0.0
+    max_abs_b = 0.0
     paths_equal = 0
     lls = []
     n_done = 0
@@ -146,6 +147,9 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
         band = np.asarray(ehmm.band)[:n_s]
         log_pi = np.asarray(ehmm.log_pi)[:n_s]
         prob = log_b[:, :n_s].T                      # [N, T] log domain
+        finite_b = prob[prob > NEG_INF / 2]
+        if finite_b.size:
+            max_abs_b = max(max_abs_b, float(np.abs(finite_b).max()))
         a_lin = densify_band(band)[:n_s, :n_s]
 
         # ---- ours (the production scan kernels)
@@ -194,6 +198,13 @@ def parity_check(bank, batch, cfg, n_utts: int = 5):
         # residual is f32 precision, magnitude-dependent
         # (tests/test_parity_drift.py)
         "max_rel_loglik_diff": max_ll_diff,
+        # conditioning of the comparison itself: the largest finite
+        # |log b| fed to both DPs.  At ~1e7 (reference 1e-6 variance
+        # floor + starved senones) the f32 ULP is 1.0 nat and even the
+        # reference's own t=0 line (LHMM.py:342, f32-contaminated)
+        # rounds whole nats — parity below ~ULP(max_abs_log_b) is
+        # unmeasurable.  model.var_floor_scale>0 keeps this ~1e2-1e3
+        "max_abs_log_b": max_abs_b,
         "viterbi_paths_identical": paths_equal,
         "logliks": lls,
     }
@@ -228,6 +239,20 @@ def main():
                     help="if >2, additionally rescore the device n-best "
                          "with an N-gram of this order trained on the "
                          "train transcripts (two-pass decode)")
+    ap.add_argument("--lm-structure", type=int, default=0,
+                    help="transcript grammar order: 0 = i.i.d. Zipf "
+                         "draws (only unigram statistics exist — any "
+                         "rescoring order above 1 is informationless "
+                         "by construction); 2 = seeded second-order "
+                         "grammar shared by train and test, giving "
+                         "trigram rescoring a measurable target")
+    ap.add_argument("--var-floor-scale", type=float, default=0.0,
+                    help="relative per-dim variance floor "
+                         "(model.var_floor_scale); 0 = the reference's "
+                         "absolute 1e-6 floor, under which starved "
+                         "senones collapse to |log b| ~ 1e7 and both "
+                         "pipelines lose f32 precision (see parity "
+                         "block's max_abs_log_b conditioning field)")
     args = ap.parse_args()
 
     import jax
@@ -260,10 +285,12 @@ def main():
     a_tr, l_tr, trans_tr = generate_formant_corpus(
         train_dir, vocab, py, num_utts=args.train_utts, n_speakers=8,
         seed=args.seed + 11, sil_token="sil",
+        markov_order=args.lm_structure, grammar_seed=args.seed,
     )
     a_te, l_te, trans_te = generate_formant_corpus(
         test_dir, vocab, py, num_utts=args.test_utts, n_speakers=3,
         seed=args.seed + 97, sil_token="sil",
+        markov_order=args.lm_structure, grammar_seed=args.seed,
     )
     log(f"synthesized {args.train_utts}+{args.test_utts} utts "
         f"in {time.time()-t0:.0f}s")
@@ -325,6 +352,7 @@ def main():
     cfg.model.max_mix_level = 6
     cfg.frontend.pitch = bool(args.pitch)
     cfg.frontend.cmvn = bool(args.cmvn)
+    cfg.model.var_floor_scale = float(args.var_floor_scale)
     cfg.train.label_format = "pinyin"
     cfg.train.load_line = 1
     cfg.train.max_frames = 512
@@ -500,6 +528,8 @@ def main():
                       "disjoint_talker_vocab": True,
                   }),
         "cmvn": bool(args.cmvn),
+        "var_floor_scale": float(args.var_floor_scale),
+        "lm_structure": int(args.lm_structure),
         "rescore": rescore_block,
         "vocab_uniqueness": ("pronunciation-unique incl. tone"
                              if args.pitch else

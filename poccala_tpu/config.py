@@ -118,6 +118,17 @@ class ModelConfig:
     mix_level: int = 4              # initial GMM mixtures (init.py:34)
     max_mix_level: int = 13         # mixture growth ceiling (init.py:35)
     c_covariance: float = 1e-6      # covariance floor (init.py:30)
+    # Relative (per-dimension) variance floor, flag-gated OFF to match
+    # the reference's absolute 1e-6 floor (init.py:30, Clustering.py:
+    # 641-645).  When > 0 the effective floor becomes
+    # max(c_covariance, var_floor_scale * corpus_diag_var[d]) — the
+    # standard LVCSR remedy (Kaldi --variance-floor style) for variance
+    # collapse on starved senones.  With the reference floor, collapsed
+    # dims reach 1/sigma^2 = 1e6 and per-frame log-densities of ~1e7,
+    # where f32 (and the reference's own f32-contaminated t=0 forward
+    # line, LHMM.py:342) loses whole nats per op; a relative floor
+    # keeps |log b| ~ 1e2-1e3 and restores well-conditioned arithmetic.
+    var_floor_scale: float = 0.0
     # 'textbook' uses the standard log-Gaussian normalizer
     # (-0.5*sum(log var)); 'reference' reproduces the reference's
     # deviation (-0.5*sum(var), util.py:29).  Parity tests target

@@ -265,7 +265,8 @@ def smem_pass_serial(trainer, frames: np.ndarray, mask: np.ndarray,
         new_params, accepted = smem_step(
             params, frames[s], mask[s], trainer._next_key(), mix,
             c_max=trainer.cfg.train.smem_c_max,
-            c_covariance=trainer.cfg.model.c_covariance,
+            c_covariance=getattr(trainer, 'var_floor',
+                                 trainer.cfg.model.c_covariance),
             normalizer=trainer.cfg.model.gaussian_normalizer,
         )
         if accepted:
@@ -508,7 +509,7 @@ def smem_pass_batched(trainer, frames: np.ndarray, mask: np.ndarray,
         return bank, 0
     cfg = trainer.cfg
     normalizer = cfg.model.gaussian_normalizer
-    c_cov = cfg.model.c_covariance
+    c_cov = getattr(trainer, 'var_floor', cfg.model.c_covariance)
 
     eligible = np.asarray(enough) & (
         np.asarray(mask).sum(axis=1) >= 3 * mix)

@@ -71,6 +71,11 @@ class Trainer:
         )
         self.mix_level = cfg.model.mix_level
         self.history: list[dict] = []
+        # effective covariance floor: the reference's scalar, or (flag-
+        # gated) a per-dim relative floor computed from the corpus on
+        # first use (ModelConfig.var_floor_scale); np constant so jit /
+        # shard_map closures embed it as a literal
+        self._var_floor_vec: np.ndarray | None = None
         self.mesh = mesh
         self._parallel_estep = None
         self._s_orig = self.bank.num_states
@@ -143,12 +148,45 @@ class Trainer:
 
             cache[key] = pmesh.make_state_sharded_fit(
                 self.mesh, self.mix_level, self.bank.max_mix, bool(reinit),
-                c_covariance=self.cfg.model.c_covariance,
+                c_covariance=self.var_floor,
                 converge_delta=self.cfg.train.gmm_converge_delta,
                 max_iters=self.cfg.train.max_em_iters,
                 normalizer=self.cfg.model.gaussian_normalizer,
             )
         return cache[key]
+
+    @property
+    def var_floor(self):
+        """Effective covariance floor for every EM/SMEM update: the
+        reference's scalar ``c_covariance`` (default), or the per-dim
+        relative floor once :meth:`_ensure_var_floor` has seen data
+        (``ModelConfig.var_floor_scale``)."""
+        if self._var_floor_vec is not None:
+            return self._var_floor_vec
+        return self.cfg.model.c_covariance
+
+    def _ensure_var_floor(self, batches: Sequence[Batch]) -> None:
+        """Compute the relative floor from the corpus (flat-start
+        subsample rule: ``proportion`` of utterances, every ``step``-th
+        frame) the first time training sees data.  No-op when the flag
+        is off or the floor is already set."""
+        if self.cfg.model.var_floor_scale <= 0 or \
+                self._var_floor_vec is not None:
+            return
+        tcfg = self.cfg.train
+        n_take = max(1, int(len(batches) * tcfg.proportion))
+        frames = [b.feats[b.t_masks][:: tcfg.step]
+                  for b in batches[:n_take]]
+        x = np.concatenate(frames, axis=0)
+        gv = np.maximum(x.var(axis=0), 1e-8)
+        self._var_floor_vec = np.maximum(
+            self.cfg.model.var_floor_scale * gv,
+            self.cfg.model.c_covariance).astype(np.float32)
+        self.log.info(
+            "relative variance floor: scale=%g, floor range [%.3g, %.3g]",
+            self.cfg.model.var_floor_scale,
+            float(self._var_floor_vec.min()),
+            float(self._var_floor_vec.max()))
 
     @property
     def state_num(self) -> int:
@@ -191,6 +229,8 @@ class Trainer:
                       update_transmat: bool = True) -> float:
         """One full embedded-BW EM step over the corpus
         (``embedded_training``, ``AcousticModel.py:842-882``)."""
+        if isinstance(batches, Sequence):
+            self._ensure_var_floor(batches)
         total = acc.zero_stats(self.bank)
         for batch in batches:
             if self._parallel_estep is not None:
@@ -217,7 +257,7 @@ class Trainer:
             total = acc.add_stats(total, stats)
         self.bank = acc.apply_update(
             self.bank, total,
-            c_covariance=self.cfg.model.c_covariance,
+            c_covariance=self.var_floor,
             update_transmat=update_transmat,
             update_gmm=update_gmm,
         )
@@ -365,7 +405,7 @@ class Trainer:
         params, q, iters = em_ops.em_fit_grouped(
             means, log_var, log_w,
             frames_j, mask_j, mix_mask,
-            c_covariance=self.cfg.model.c_covariance,
+            c_covariance=self.var_floor,
             converge_delta=self.cfg.train.gmm_converge_delta,
             max_iters=self.cfg.train.max_em_iters,
             normalizer=self.cfg.model.gaussian_normalizer,
@@ -394,6 +434,7 @@ class Trainer:
         """One scheme-1 round: (re)segment → GMM training → embedded
         transmat re-estimation (``Task.auto`` mode-1 body,
         ``Controller.py:190-196``)."""
+        self._ensure_var_floor(batches)
         reinit = init or bool(
             np.any(np.asarray(self.bank.mix_counts) != self.mix_level)
         )
@@ -420,6 +461,7 @@ class Trainer:
     def auto(self, batches: Sequence[Batch], t: int = 1, mode: int = 1,
              init: bool = True, add_mix: bool = False) -> list[float]:
         logliks = []
+        self._ensure_var_floor(batches)
         for round_idx in range(t):
             t0 = time.time()
             if mode == 1:
