@@ -593,6 +593,8 @@ def generate_formant_corpus(
     seed: int = 0,
     zipf: float = 1.0,
     sil_token: str | None = None,
+    markov_order: int = 0,
+    grammar_seed: int | None = None,
 ) -> tuple[str, str, list[tuple[str, list[str]]]]:
     """Write a THCHS-30-style corpus: ``record/utt*.wav`` plus
     ``label/utt*.wav.trn`` with line 0 = the word sequence (space
@@ -607,6 +609,18 @@ def generate_formant_corpus(
         marks the utterance-boundary and inter-word pauses with this
         token, enabling explicit silence-model training (the token is a
         *unit name*, passed through by ``Corpus._encode_label``).
+    :param markov_order: transcript structure.  0 (default): words drawn
+        i.i.d. from the Zipf marginal — only unigram statistics exist,
+        so any N-gram above order 1 is informationless by construction.
+        2: sentences built from a seeded 3-word collocation inventory
+        whose middle words share a small pool — after a middle word the
+        bigram splits mass across every phrase sharing it, while the
+        two-word history resolves the continuation exactly (see the
+        grammar block in the function body).
+    :param grammar_seed: seed of the second-order grammar (defaults to
+        ``seed``).  Train and test corpora with different ``seed``
+        values must share ``grammar_seed`` so held-out sentences follow
+        the grammar the LM is trained on.
     """
     rng = np.random.default_rng(seed)
     audio_dir = os.path.join(out_dir, "record")
@@ -622,11 +636,49 @@ def generate_formant_corpus(
     weights = ranks ** (-zipf)
     weights /= weights.sum()
 
+    n_lex = len(lex_entries)
+    g_seed = seed if grammar_seed is None else grammar_seed
+
+    # second-order grammar = a collocation inventory: 3-word phrases
+    # (first, middle, last) whose MIDDLE words come from a small shared
+    # pool.  After a middle word a bigram splits its mass across every
+    # phrase sharing that middle; the (first, middle) history resolves
+    # the continuation exactly, and a Zipf distribution over phrases
+    # keeps the informative histories frequent enough to learn.  This
+    # is the measurable target for order-3 decoding/rescoring (the
+    # reference builds Ngram(k) per order, Decoder.py:201-204, but
+    # never applies more than one word of context).
+    if markov_order >= 2 and n_lex >= 8:
+        g = np.random.default_rng(g_seed)
+        n_mid = max(3, n_lex // 12)
+        mids = g.choice(n_lex, size=n_mid, replace=False)
+        n_phrase = max(8, n_lex // 2)
+        phrases = np.stack([
+            g.integers(0, n_lex, size=n_phrase),
+            mids[g.integers(0, n_mid, size=n_phrase)],
+            g.integers(0, n_lex, size=n_phrase),
+        ], axis=1)
+        p_ranks = np.arange(1, n_phrase + 1, dtype=np.float64)
+        p_weights = p_ranks ** (-zipf)
+        p_weights /= p_weights.sum()
+
+    def _sample_sentence(k: int) -> list[int]:
+        if markov_order < 2 or n_lex < 8:
+            return list(rng.choice(n_lex, size=k, p=weights))
+        out: list[int] = []
+        while len(out) < k:
+            if rng.uniform() < 0.8:
+                out.extend(int(x) for x in
+                           phrases[rng.choice(n_phrase, p=p_weights)])
+            else:
+                out.append(int(rng.choice(n_lex, p=weights)))
+        return out[:k]
+
     speakers = [Speaker.random(rng) for _ in range(n_speakers)]
     transcripts: list[tuple[str, list[str]]] = []
     for i in range(num_utts):
         k = int(rng.integers(words_per_utt[0], words_per_utt[1] + 1))
-        idx = rng.choice(len(lex_entries), size=k, p=weights)
+        idx = _sample_sentence(k)
         chosen = [lex_entries[j] for j in idx]
         syl_units = [u for (_, _, units) in chosen for u in units]
         # inter-word pause plan: pauses allowed after word-final

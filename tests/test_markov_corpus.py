@@ -1,0 +1,85 @@
+"""Second-order transcript grammar (``generate_formant_corpus
+markov_order=2``).
+
+The default corpus draws words i.i.d. from a Zipf marginal, so any LM
+above order 1 is informationless by construction — which made trigram
+rescoring demonstrations vacuous (r04 flagship: delta exactly 0.0).
+The structured mode samples each word from a seeded hash of the
+previous two, shared between train and test via ``grammar_seed``.
+
+Pinned here: (1) a trigram beats a bigram in held-out perplexity on
+structured transcripts but not on i.i.d. ones; (2) the grammar is
+carried by ``grammar_seed``, not the corpus ``seed``.
+"""
+
+import numpy as np
+import pytest
+
+from poccala_tpu.io.synth_formant import generate_formant_corpus
+from poccala_tpu.lexicon import PinYin
+from poccala_tpu.lm import Ngram
+
+
+def _vocab_py():
+    table = {
+        "你": ["ni3"], "好": ["hao3"], "马": ["ma1"], "天": ["tian1"],
+        "大": ["da4"], "小": ["xiao3"], "山": ["shan1"], "水": ["shui3"],
+        "人": ["ren2"], "口": ["kou3"], "中": ["zhong1"], "文": ["wen2"],
+    }
+    return list(table), PinYin(table)
+
+
+def _gen(tmp_path, tag, **kw):
+    words, py = _vocab_py()
+    _, _, trans = generate_formant_corpus(
+        str(tmp_path / tag), words, py, words_per_utt=(4, 7),
+        n_speakers=2, **kw)
+    return [ws for _, ws in trans]
+
+
+def _ppl(lm, sents):
+    logp, n = 0.0, 0
+    for ws in sents:
+        for i, w in enumerate(ws):
+            logp += lm.logprob(w, ws[max(0, i - lm.n + 1): i])
+            n += 1
+    return float(np.exp(-logp / max(n, 1)))
+
+
+class TestMarkovStructure:
+    def test_trigram_wins_only_with_structure(self, tmp_path):
+        tr_s = _gen(tmp_path, "s_tr", num_utts=120, seed=11,
+                    markov_order=2, grammar_seed=5)
+        te_s = _gen(tmp_path, "s_te", num_utts=40, seed=97,
+                    markov_order=2, grammar_seed=5)
+        tr_i = _gen(tmp_path, "i_tr", num_utts=120, seed=11)
+        te_i = _gen(tmp_path, "i_te", num_utts=40, seed=97)
+
+        def gain(tr, te):
+            bg, tg = Ngram(2), Ngram(3)
+            bg.train(tr)
+            tg.train(tr)
+            return _ppl(bg, te) / _ppl(tg, te)
+
+        g_struct = gain(tr_s, te_s)
+        g_iid = gain(tr_i, te_i)
+        # structured: the trigram resolves the shared-middle phrase
+        # ambiguity the bigram marginalizes away (deterministic seeds;
+        # measured 1.12 vs 0.95 on this 12-word toy — the gap widens
+        # with vocabulary, benchmarks/WER_r04_trigram.json); i.i.d.: no
+        # higher-order signal exists, backoff noise only hurts
+        assert g_struct > 1.08, g_struct
+        assert g_iid < 1.02, g_iid
+        assert g_struct > g_iid + 0.05, (g_struct, g_iid)
+
+    def test_grammar_seed_shares_structure_across_seeds(self, tmp_path):
+        a = _gen(tmp_path, "a", num_utts=100, seed=1, markov_order=2,
+                 grammar_seed=5)
+        b = _gen(tmp_path, "b", num_utts=40, seed=2, markov_order=2,
+                 grammar_seed=5)
+        c = _gen(tmp_path, "c", num_utts=40, seed=2, markov_order=2,
+                 grammar_seed=123)
+        tg = Ngram(3)
+        tg.train(a)
+        # same grammar generalizes; a different grammar does not
+        assert _ppl(tg, b) < _ppl(tg, c) * 0.9, (_ppl(tg, b), _ppl(tg, c))
