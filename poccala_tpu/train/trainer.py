@@ -231,6 +231,13 @@ class Trainer:
         (``embedded_training``, ``AcousticModel.py:842-882``)."""
         if isinstance(batches, Sequence):
             self._ensure_var_floor(batches)
+        elif (self.cfg.model.var_floor_scale > 0
+              and self._var_floor_vec is None):
+            self.log.warning(
+                "var_floor_scale set but batches is a generator; "
+                "relative floor not computable here — still using the "
+                "scalar c_covariance floor (pass a materialized batch "
+                "list, or call _ensure_var_floor first)")
         total = acc.zero_stats(self.bank)
         for batch in batches:
             if self._parallel_estep is not None:
