@@ -39,8 +39,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# (block_size, active_blocks) pruning variants; None = exact search
+# (block_size, active_blocks) pruning variants; None = exact search.
+# POCCALA_FV_VARIANTS="512:4,256:8" overrides (exact row always kept);
+# POCCALA_FV_THROUGHPUT_ONLY=1 skips the accuracy half (sweep mode)
 VARIANTS = (None, (1024, 4), (1024, 8), (512, 4), (512, 8))
+if os.environ.get("POCCALA_FV_VARIANTS"):
+    VARIANTS = (None,) + tuple(
+        tuple(int(x) for x in v.split(":"))
+        for v in os.environ["POCCALA_FV_VARIANTS"].split(","))
+THROUGHPUT_ONLY = bool(os.environ.get("POCCALA_FV_THROUGHPUT_ONLY"))
 SMALL = bool(os.environ.get("POCCALA_FV_SMALL"))  # CPU smoke mode
 if SMALL:
     VARIANTS = (None, (64, 2))
@@ -140,6 +147,10 @@ def main():
             thr_rows.append(row)
             log(str(row))
     out["throughput"] = thr_rows
+    if THROUGHPUT_ONLY:
+        log("THROUGHPUT_ONLY sweep: not writing artifacts")
+        print(json.dumps(thr_rows))
+        return
 
     # ---- 2. search accuracy with a separable bank --------------------
     d = 8
