@@ -477,7 +477,7 @@ def main():
     if args.rescore_order > 2:
         from poccala_tpu.decoder.rescore import rescore_nbest
 
-        tri = Ngram(args.rescore_order)
+        tri = Ngram(args.rescore_order, smoothing="wb")
         tri.train([words for _, words in trans_tr])
         re_lists = rescore_nbest(nbest_all, lm, tri, best_w, best_pen)
         hyps_re = [[w for w in h[0].words if w != "<sil>"] if h else []

@@ -204,7 +204,7 @@ def cmd_decode(args):
         from poccala_tpu.decoder.rescore import rescore_nbest
         from poccala_tpu.lm import Ngram
 
-        rlm = Ngram(args.rescore_order)
+        rlm = Ngram(args.rescore_order, smoothing="wb")
         rlm.init_gram(args.rescore_lm)
         outs = rescore_nbest(outs, lm, rlm, dec.lm_weight,
                              dec.word_penalty)

@@ -650,17 +650,22 @@ def generate_formant_corpus(
     # never applies more than one word of context).
     if markov_order >= 2 and n_lex >= 8:
         g = np.random.default_rng(g_seed)
-        n_mid = max(3, n_lex // 12)
+        # small middle pool + distinct (first, last) pairs per middle,
+        # sampled UNIFORMLY: every middle has several comparably
+        # frequent continuations, so the bigram's P(. | mid) stays
+        # genuinely ambiguous while each (first, mid) history is seen
+        # often enough to learn (a Zipf over phrases lets one phrase
+        # dominate each middle and the bigram nearly resolves it)
+        n_mid = max(3, n_lex // 20)
         mids = g.choice(n_lex, size=n_mid, replace=False)
         n_phrase = max(8, n_lex // 2)
+        firsts = g.integers(0, n_lex, size=n_phrase)
+        lasts = g.permutation(n_phrase) % n_lex  # distinct per phrase
         phrases = np.stack([
-            g.integers(0, n_lex, size=n_phrase),
-            mids[g.integers(0, n_mid, size=n_phrase)],
-            g.integers(0, n_lex, size=n_phrase),
+            firsts,
+            mids[np.arange(n_phrase) % n_mid],
+            lasts,
         ], axis=1)
-        p_ranks = np.arange(1, n_phrase + 1, dtype=np.float64)
-        p_weights = p_ranks ** (-zipf)
-        p_weights /= p_weights.sum()
 
     def _sample_sentence(k: int) -> list[int]:
         if markov_order < 2 or n_lex < 8:
@@ -669,7 +674,7 @@ def generate_formant_corpus(
         while len(out) < k:
             if rng.uniform() < 0.8:
                 out.extend(int(x) for x in
-                           phrases[rng.choice(n_phrase, p=p_weights)])
+                           phrases[rng.integers(n_phrase)])
             else:
                 out.append(int(rng.choice(n_lex, p=weights)))
         return out[:k]

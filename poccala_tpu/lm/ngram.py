@@ -38,9 +38,22 @@ EOS = "</s>"
 
 
 class Ngram:
-    def __init__(self, n: int = 2, lambda_interp: float = 0.7):
+    def __init__(self, n: int = 2, lambda_interp: float = 0.7,
+                 smoothing: str = "jm"):
+        """:param smoothing: ``'jm'`` — fixed-weight Jelinek-Mercer
+        interpolation (``lambda_interp``), the decoder-table form;
+        ``'wb'`` — Witten-Bell: per-context
+        ``lambda(ctx) = c(ctx) / (c(ctx) + distinct_successors(ctx))``,
+        so confident histories keep their high-order estimate while
+        sparse ones defer to lower orders without JM's flat ``1-λ``
+        penalty on every unseen continuation (measured: the structured-
+        corpus trigram gain JM discards, tests/test_markov_corpus.py).
+        ``'wb'`` is for rescoring LMs; the vectorized decoder tables
+        (:meth:`bigram_tables`) require ``'jm'``."""
         assert n >= 1
+        assert smoothing in ("jm", "wb"), smoothing
         self.n = n
+        self.smoothing = smoothing
         self.lambda_interp = lambda_interp
         # counts[k] maps "w1 w2 … wk" -> count, for k = 1..n
         self.counts: list[dict[str, int]] = [defaultdict(int) for _ in range(n)]
@@ -112,11 +125,24 @@ class Ngram:
                 return 0.0
             return num / den
 
-        lam = self.lambda_interp
         p = order_prob([])
-        for k in range(1, len(context) + 1):
-            pk = order_prob(context[-k:])
-            p = lam * pk + (1 - lam) * p if pk > 0 else (1 - lam) * p
+        if self.smoothing == "wb":
+            for k in range(1, len(context) + 1):
+                ctx = context[-k:]
+                prefix = " ".join(ctx)
+                den = self.counts[k - 1].get(prefix, 0)
+                if den == 0:
+                    continue  # unseen history: full backoff, no penalty
+                # successors of a k-word prefix live in _succ[k]
+                # (context is clipped to n-1 words, so k <= n-1)
+                distinct = len(self._succ[k].get(prefix, {}))
+                lam_k = den / (den + max(distinct, 1))
+                p = lam_k * order_prob(ctx) + (1 - lam_k) * p
+        else:
+            lam = self.lambda_interp
+            for k in range(1, len(context) + 1):
+                pk = order_prob(context[-k:])
+                p = lam * pk + (1 - lam) * p if pk > 0 else (1 - lam) * p
         return math.log10(max(p, 1e-12))
 
     # ------------------------------------------------------------------
@@ -136,6 +162,11 @@ class Ngram:
             ``(rows, cols, vals)`` the observed-bigram corrections,
             ``vals[i] = logprob(vocab[cols[i]], [vocab[rows[i]]])``.
         """
+        if self.smoothing != "jm":
+            raise ValueError(
+                "bigram_tables requires smoothing='jm' (its backoff "
+                "column is context-independent); 'wb' LMs are for "
+                "rescoring (decoder/rescore.py)")
         v = max(len(self.vocab), 1)
         lam = self.lambda_interp
         c1 = np.array(

@@ -38,12 +38,12 @@ def _gen(tmp_path, tag, **kw):
 
 
 def _ppl(lm, sents):
-    logp, n = 0.0, 0
+    logp, n = 0.0, 0  # logprob is log10
     for ws in sents:
         for i, w in enumerate(ws):
             logp += lm.logprob(w, ws[max(0, i - lm.n + 1): i])
             n += 1
-    return float(np.exp(-logp / max(n, 1)))
+    return float(10.0 ** (-logp / max(n, 1)))
 
 
 class TestMarkovStructure:
@@ -55,22 +55,24 @@ class TestMarkovStructure:
         tr_i = _gen(tmp_path, "i_tr", num_utts=120, seed=11)
         te_i = _gen(tmp_path, "i_te", num_utts=40, seed=97)
 
-        def gain(tr, te):
-            bg, tg = Ngram(2), Ngram(3)
+        def gain(tr, te, smoothing):
+            bg = Ngram(2, smoothing=smoothing)
+            tg = Ngram(3, smoothing=smoothing)
             bg.train(tr)
             tg.train(tr)
             return _ppl(bg, te) / _ppl(tg, te)
 
-        g_struct = gain(tr_s, te_s)
-        g_iid = gain(tr_i, te_i)
+        g_wb = gain(tr_s, te_s, "wb")
+        g_jm = gain(tr_s, te_s, "jm")
+        g_iid = gain(tr_i, te_i, "wb")
         # structured: the trigram resolves the shared-middle phrase
-        # ambiguity the bigram marginalizes away (deterministic seeds;
-        # measured 1.12 vs 0.95 on this 12-word toy — the gap widens
-        # with vocabulary, benchmarks/WER_r04_trigram.json); i.i.d.: no
-        # higher-order signal exists, backoff noise only hurts
-        assert g_struct > 1.08, g_struct
+        # ambiguity the bigram marginalizes away; i.i.d.: no
+        # higher-order signal exists, backoff noise only hurts.
+        # Witten-Bell keeps more of the gain than fixed-weight JM
+        # (JM pays a flat 1-lambda on every unseen continuation)
+        assert g_wb > 1.15, g_wb
+        assert g_wb > g_jm, (g_wb, g_jm)
         assert g_iid < 1.02, g_iid
-        assert g_struct > g_iid + 0.05, (g_struct, g_iid)
 
     def test_grammar_seed_shares_structure_across_seeds(self, tmp_path):
         a = _gen(tmp_path, "a", num_utts=100, seed=1, markov_order=2,
