@@ -43,7 +43,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def build_vocab(n_words: int, seed: int, with_tone: bool = False):
+def build_vocab(n_words: int, seed: int, with_tone: bool = False,
+                homophones: int = 0):
     """Pronunciation-unique vocabulary from the reference table.
 
     ``with_tone=False`` (MFCC-only runs): unique ignoring tone —
@@ -52,7 +53,15 @@ def build_vocab(n_words: int, seed: int, with_tone: bool = False):
     construction (equally true of the reference's MFCC pipeline).
     ``with_tone=True`` (pitch-feature runs): unique including tone, so
     tone-minimal pairs ARE in the vocabulary and must be resolved by the
-    F0 feature column."""
+    F0 feature column.
+
+    ``homophones > 0`` additionally appends up to that many words whose
+    FULL TONED pronunciation exactly matches a selected word's —
+    acoustically indistinguishable by construction (the Mandarin
+    homophone problem: 25,569 hanzi over ~1.3k toned syllables,
+    ``Lexicon/Mandarin.dat``), so only LM context can pick the hanzi.
+    These exercise the homophone-sausage rescoring path
+    (``decoder/rescore.py``)."""
     from poccala_tpu.lexicon.build import DEFAULT_DAT, reference_words
 
     words, py = reference_words(DEFAULT_DAT, n_single=6000, n_multi=4000,
@@ -73,6 +82,26 @@ def build_vocab(n_words: int, seed: int, with_tone: bool = False):
         vocab.append(w)
         if len(vocab) >= n_words:
             break
+    if homophones > 0:
+        have = set(vocab)
+        toned_of = {}
+        for w in vocab:
+            p = py.word2pinyin(w)
+            toned_of.setdefault(tuple(r[0] for r in p), w)
+        extra = []
+        for i in order:
+            w = words[i]
+            if w in have:
+                continue
+            p = py.word2pinyin(w)
+            if p is None:
+                continue
+            if tuple(r[0] for r in p) in toned_of:
+                extra.append(w)
+                have.add(w)
+            if len(extra) >= homophones:
+                break
+        vocab = vocab + extra
     return vocab, py
 
 
@@ -239,6 +268,13 @@ def main():
                     help="if >2, additionally rescore the device n-best "
                          "with an N-gram of this order trained on the "
                          "train transcripts (two-pass decode)")
+    ap.add_argument("--homophones", type=int, default=0,
+                    help="append up to this many exact-homophone words "
+                         "to the vocabulary (identical toned "
+                         "pronunciation -> identical acoustics); the "
+                         "rescore pass then runs homophone-sausage "
+                         "conversion (decoder/rescore.py), where LM "
+                         "order directly decides hanzi accuracy")
     ap.add_argument("--lm-structure", type=int, default=0,
                     help="transcript grammar order: 0 = i.i.d. Zipf "
                          "draws (only unigram statistics exist — any "
@@ -275,8 +311,11 @@ def main():
     from poccala_tpu.train.trainer import Trainer
 
     t_start = time.time()
-    vocab, py = build_vocab(args.vocab, args.seed, with_tone=args.pitch)
-    log(f"vocabulary: {len(vocab)} pronunciation-unique words")
+    vocab, py = build_vocab(args.vocab, args.seed, with_tone=args.pitch,
+                            homophones=args.homophones)
+    log(f"vocabulary: {len(vocab)} words"
+        + (f" (incl. up to {args.homophones} homophones)"
+           if args.homophones else " (pronunciation-unique)"))
 
     # ---- corpora: unseen speakers for the held-out set
     train_dir = os.path.join(args.workdir, "train")
@@ -479,17 +518,78 @@ def main():
 
         tri = Ngram(args.rescore_order, smoothing="wb")
         tri.train([words for _, words in trans_tr])
-        re_lists = rescore_nbest(nbest_all, lm, tri, best_w, best_pen)
+        # the rescore LM weight is tuned separately on the dev slice
+        # (standard two-pass practice: the acoustic margins between
+        # n-best entries are set by the decode weight, so the stronger
+        # LM usually needs a larger weight to move the ranking)
+        dev_nb = dec.decode_batch(dev.feats, dev_nf, return_nbest=nb)
+        best_rw, best_rwer = best_w, None
+        for rw in (best_w, 2 * best_w, 4 * best_w, 8 * best_w):
+            dl = rescore_nbest(dev_nb, lm, tri, best_w, best_pen,
+                               rescore_lm_weight=rw)
+            hy = [[x for x in h[0].words if x != "<sil>"] if h else []
+                  for h in dl]
+            r = wer_fn(dev_refs, hy)
+            log(f"  rescore sweep: weight={rw} dev WER={r.wer:.3f}")
+            if best_rwer is None or r.wer < best_rwer:
+                best_rw, best_rwer = rw, r.wer
+        re_lists = rescore_nbest(nbest_all, lm, tri, best_w, best_pen,
+                                 rescore_lm_weight=best_rw)
         hyps_re = [[w for w in h[0].words if w != "<sil>"] if h else []
                    for h in re_lists]
         res_re = wer_fn(refs, hyps_re)
         rescore_block = {
             "order": args.rescore_order,
             "nbest": nb,
+            "smoothing": "wb",
+            "rescore_lm_weight": best_rw,
             "wer": round(res_re.wer, 4),
             "ser": round(res_re.ser, 4),
             "wer_delta_vs_bigram": round(res_re.wer - res.wer, 4),
         }
+        # homophone sausage: with homophones in the vocabulary the
+        # decoded word sequence is only one member of an acoustically
+        # identical family; LM order directly decides hanzi accuracy
+        # (the pinyin->hanzi task the reference's Ngram stack serves)
+        from poccala_tpu.decoder.rescore import (homophone_groups,
+                                                 rescore_sausage)
+
+        groups = homophone_groups(flat)
+        if groups:
+            def sausage_wer(rlm, rw, lists, rf):
+                sl = rescore_sausage(lists, groups, lm, rlm,
+                                     best_w, best_pen,
+                                     rescore_lm_weight=rw)
+                hy = [[x for x in h[0].words if x != "<sil>"]
+                      if h else [] for h in sl]
+                return wer_fn(rf, hy)
+
+            def tune_sausage(rlm):
+                """Per-method dev tuning: the two orders get the same
+                treatment, only the LM order differs."""
+                bw, bwer = best_w, None
+                for rw in (best_w, 2 * best_w, 4 * best_w):
+                    r = sausage_wer(rlm, rw, dev_nb, dev_refs)
+                    if bwer is None or r.wer < bwer:
+                        bw, bwer = rw, r.wer
+                return bw
+
+            rw_bi = tune_sausage(lm)
+            rw_tri = tune_sausage(tri)
+            s_bi = sausage_wer(lm, rw_bi, nbest_all, refs)
+            s_tri = sausage_wer(tri, rw_tri, nbest_all, refs)
+            rescore_block["sausage"] = {
+                "homophone_words": len(groups),
+                "bigram_lm_weight": rw_bi,
+                "trigram_lm_weight": rw_tri,
+                "bigram_wer": round(s_bi.wer, 4),
+                "trigram_wer": round(s_tri.wer, 4),
+                "trigram_delta_vs_bigram_sausage":
+                    round(s_tri.wer - s_bi.wer, 4),
+                "trigram_delta_vs_plain": round(s_tri.wer - res.wer, 4),
+            }
+            log(f"sausage: bigram {s_bi.wer:.3f} trigram "
+                f"{s_tri.wer:.3f} (plain {res.wer:.3f})")
         log(f"trigram-rescored WER={res_re.wer:.3f} "
             f"(bigram {res.wer:.3f})")
 
@@ -530,6 +630,7 @@ def main():
         "cmvn": bool(args.cmvn),
         "var_floor_scale": float(args.var_floor_scale),
         "lm_structure": int(args.lm_structure),
+        "homophones_requested": int(args.homophones),
         "rescore": rescore_block,
         "vocab_uniqueness": ("pronunciation-unique incl. tone"
                              if args.pitch else

@@ -80,3 +80,87 @@ def rescore_nbest(nbest_lists, decode_lm, rescore_lm, lm_weight: float,
                      **kw)
         for h in nbest_lists
     ]
+
+
+# ----------------------------------------------------------------------
+# Homophone sausage rescoring (pinyin -> hanzi conversion)
+# ----------------------------------------------------------------------
+
+def homophone_groups(lexicon) -> dict[str, tuple[str, ...]]:
+    """Map each word to the tuple of words sharing its lexicon node —
+    exact homophones (identical unit sequence, hence identical
+    acoustics and decode penalty).  Built from ``node_words``, the
+    ``'word'`` leaf lists of the reference's prefix tree
+    (``PronunciationLexicon.py:79-94``)."""
+    groups: dict[str, tuple[str, ...]] = {}
+    for words in lexicon.node_words:
+        if len(words) < 2:
+            continue
+        tup = tuple(words)
+        for w in words:
+            groups[w] = tup
+    return groups
+
+
+def best_homophone_path(words, groups, lm, lm_weight: float,
+                        beam: int = 8):
+    """Best hanzi sequence over the homophone sausage of ``words``.
+
+    Every position may swap to any homophone of the decoded word at
+    ZERO acoustic cost (same pronunciation -> same frames, same
+    penalty), so the optimum over the sausage under ``lm`` is exact
+    pinyin->hanzi conversion — the task the reference's per-order
+    ``Ngram`` stack exists for (``Decoder.py:201-204``).  A beam of
+    ``beam`` histories makes this exact for any LM order <= beam depth
+    in practice (histories are (n-1)-word tuples; ties keep the
+    decoded word first).
+
+    :returns: (best words tuple, total weighted LM score)
+    """
+    # beam entries: (score, history tuple, words-so-far tuple)
+    entries = [(0.0, (), ())]
+    for w in words:
+        alts = groups.get(w, (w,))
+        # decoded word first so exact ties preserve the decoder's choice
+        alts = (w,) + tuple(a for a in alts if a != w)
+        nxt = []
+        for score, hist, seq in entries:
+            for a in alts:
+                s = score + lm_weight * lm.logprob(a, list(hist))
+                h = (hist + (a,))[-(lm.n - 1):] if lm.n > 1 else ()
+                nxt.append((s, h, seq + (a,)))
+        # keep the best entry per history (Viterbi recombination),
+        # then the top `beam` overall
+        best_by_hist: dict[tuple, tuple] = {}
+        for e in nxt:
+            k = e[1]
+            if k not in best_by_hist or e[0] > best_by_hist[k][0]:
+                best_by_hist[k] = e
+        entries = sorted(best_by_hist.values(),
+                         key=lambda e: e[0], reverse=True)[:beam]
+    return entries[0][2], entries[0][0]
+
+
+def rescore_sausage(nbest_lists, groups, decode_lm, rescore_lm,
+                    lm_weight: float, word_penalty: float,
+                    rescore_lm_weight: float | None = None,
+                    beam: int = 8):
+    """Two-pass homophone-aware rescoring: for each hypothesis, strip
+    the decode LM's exact contribution, then pick the best homophone
+    sequence under ``rescore_lm`` (``best_homophone_path``) and re-rank.
+    The acoustic+penalty part is invariant under homophone swaps, so
+    this is exact sausage decoding, not an approximation."""
+    w_new = lm_weight if rescore_lm_weight is None else rescore_lm_weight
+    out = []
+    for hyps in nbest_lists:
+        res = []
+        for h in hyps:
+            base = h.score - decode_lm_score(
+                decode_lm, h.words, lm_weight, word_penalty)
+            seq, lm_s = best_homophone_path(
+                h.words, groups, rescore_lm, w_new, beam=beam)
+            res.append(Hypothesis(
+                score=base + lm_s - word_penalty * len(seq), words=seq))
+        res.sort(reverse=True)
+        out.append(res)
+    return out

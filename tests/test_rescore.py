@@ -112,3 +112,61 @@ class TestTrigramRerank:
         acoustic = 1.0 - decode_lm_score(bi, ("a", "b"), 4.0, 1.0)
         want = acoustic + decode_lm_score(tri, ("a", "b"), 6.0, 0.5)
         assert np.isclose(out[0][0].score, want)
+
+
+class TestHomophoneSausage:
+    """Homophone sausage rescoring (pinyin->hanzi conversion): words
+    sharing a lexicon node have identical acoustics, so rescoring may
+    swap them freely; the LM order decides how much context picks the
+    hanzi."""
+
+    def _lex(self):
+        table = {"你": ["ni3"], "好": ["hao3"], "马": ["ma1"],
+                 "妈": ["ma1"], "吗": ["ma1"]}
+        lex = PronunciationLexicon()
+        lex.generate(["你", "好", "马", "妈", "吗"], PinYin(table))
+        from poccala_tpu.io.corpus import UnitInventory
+        inv = UnitInventory(["n", "i3", "h", "ao3", "m", "a1"])
+        return FlatLexicon.from_tree(lex.lexicon, inv)
+
+    def test_groups_from_lexicon(self):
+        from poccala_tpu.decoder.rescore import homophone_groups
+
+        g = homophone_groups(self._lex())
+        assert set(g["马"]) == {"马", "妈", "吗"}
+        assert g["马"] == g["妈"] == g["吗"]
+        assert "你" not in g  # unique pronunciation: no group
+
+    def test_trigram_resolves_what_bigram_ties(self):
+        from poccala_tpu.decoder.rescore import (best_homophone_path,
+                                                 homophone_groups)
+
+        # corpus: after (你, 好) the third word is always 妈; after
+        # (马, 好) it is always 吗.  A bigram only sees 好 and ties.
+        corpus = [["你", "好", "妈"]] * 10 + [["马", "好", "吗"]] * 10
+        bg, tg = Ngram(2, smoothing="wb"), Ngram(3, smoothing="wb")
+        bg.train(corpus)
+        tg.train(corpus)
+        g = homophone_groups(self._lex())
+        seq3, _ = best_homophone_path(("你", "好", "吗"), g, tg, 10.0)
+        assert seq3 == ("你", "好", "妈"), seq3  # trigram fixes it
+        seq2, _ = best_homophone_path(("你", "好", "吗"), g, bg, 10.0)
+        # the bigram cannot prefer 妈 over the decoded 吗 (tie keeps
+        # the decoder's choice)
+        assert seq2[2] == "吗", seq2
+
+    def test_no_homophones_equals_plain_rescore(self):
+        from poccala_tpu.decoder.rescore import (rescore_nbest,
+                                                 rescore_sausage)
+
+        lm = Ngram(2)
+        lm.train([["你", "好"], ["你", "马"]] * 3)
+        tri = Ngram(3, smoothing="wb")
+        tri.train([["你", "好"], ["你", "马"]] * 3)
+        hyps = [[Hypothesis(score=-5.0, words=("你", "好")),
+                 Hypothesis(score=-6.0, words=("你", "马"))]]
+        a = rescore_nbest(hyps, lm, tri, 4.0, 1.5)
+        b = rescore_sausage(hyps, {}, lm, tri, 4.0, 1.5)
+        for ha, hb in zip(a[0], b[0]):
+            assert ha.words == hb.words
+            assert abs(ha.score - hb.score) < 1e-9
