@@ -666,6 +666,27 @@ def generate_formant_corpus(
             mids[np.arange(n_phrase) % n_mid],
             lasts,
         ], axis=1)
+        # homophone minimal pairs: when the vocabulary contains words
+        # with identical unit sequences (exact homophones — the
+        # Mandarin hanzi-selection problem), plant phrase pairs
+        # (f1, m, h1) / (f2, m, h2) sharing the middle: after m the
+        # bigram TIES between the family members by construction and
+        # only the two-word history (f, m) picks the hanzi — the
+        # workload for order-3 sausage rescoring (decoder/rescore.py)
+        fam: dict[tuple, list[int]] = {}
+        for idx, (_, _, us) in enumerate(lex_entries):
+            key = tuple(u for syl in us for u in syl)  # flat unit seq
+            fam.setdefault(key, []).append(idx)
+        pairs = [v[:2] for v in fam.values() if len(v) >= 2]
+        g.shuffle(pairs)
+        n_conf = min(len(pairs), n_phrase // 4)
+        for p_i in range(n_conf):
+            h1, h2 = pairs[p_i]
+            m = int(mids[g.integers(n_mid)])
+            f1 = int(g.integers(n_lex))
+            f2 = int((f1 + 1 + g.integers(n_lex - 1)) % n_lex)
+            phrases[2 * p_i] = (f1, m, h1)
+            phrases[2 * p_i + 1] = (f2, m, h2)
 
     def _sample_sentence(k: int) -> list[int]:
         if markov_order < 2 or n_lex < 8:
