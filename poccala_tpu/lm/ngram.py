@@ -223,6 +223,11 @@ class Ngram:
             json.dump(
                 {
                     "n": self.n,
+                    # smoothing config must round-trip: a WB LM loaded
+                    # into a default Ngram() would otherwise silently
+                    # score with JM (same counts, different backoff)
+                    "smoothing": self.smoothing,
+                    "lambda_interp": self.lambda_interp,
                     "counts": [dict(c) for c in self.counts],
                     "vocab": sorted(self.vocab),
                 },
@@ -237,6 +242,10 @@ class Ngram:
         with open(path) as f:
             data = json.load(f)
         self.n = data["n"]
+        # older files predate the smoothing fields; keep their behavior
+        # (constructor defaults) rather than guessing
+        self.smoothing = data.get("smoothing", self.smoothing)
+        self.lambda_interp = data.get("lambda_interp", self.lambda_interp)
         self.counts = [defaultdict(int, c) for c in data["counts"]]
         self.vocab = set(data["vocab"])
         self.total_unigrams = sum(self.counts[0].values())

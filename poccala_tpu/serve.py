@@ -96,7 +96,8 @@ class DecodeService:
 
     def __init__(self, decoder, batch_size: int = 8,
                  frame_bucket: int = 128, max_wait_s: float = 0.005,
-                 return_nbest: int = 1, mesh=None):
+                 return_nbest: int = 1, mesh=None,
+                 gather_cap_s: float = 0.25):
         if batch_size < 1:
             raise ValueError("batch_size must be >= 1")
         if frame_bucket < 1:
@@ -109,8 +110,16 @@ class DecodeService:
         self.mesh = mesh
         self.stats = ServiceStats()
         # EMA of device batch time, learned online; drives the adaptive
-        # gather window (fill the next batch while the current one runs)
+        # gather window (fill the next batch while the current one runs).
+        # The very first collect is excluded (it includes JIT compile —
+        # minutes for large graphs — and would peg the window for ~15
+        # batches of 0.7-decay), and the window is hard-capped at
+        # ``gather_cap_s`` so any compile-inflated sample (e.g. a new
+        # frame-bucket shape mid-run) bounds the extra client latency
+        # instead of multiplying it.
         self._ema_batch_s = 0.0
+        self._ema_primed = False
+        self.gather_cap_s = float(gather_cap_s)
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()  # serializes submit vs close
@@ -251,8 +260,12 @@ class DecodeService:
             # window's estimate of device busy time (slight
             # overestimate: includes host id->word; self-correcting)
             busy = now - t_disp
-            self._ema_batch_s = (busy if self._ema_batch_s == 0.0
-                                 else 0.7 * self._ema_batch_s + 0.3 * busy)
+            if not self._ema_primed:
+                self._ema_primed = True  # first sample = compile; skip
+            else:
+                self._ema_batch_s = (
+                    busy if self._ema_batch_s == 0.0
+                    else 0.7 * self._ema_batch_s + 0.3 * busy)
             for (_, _, fut, t_sub), hyps in zip(reqs, outs):
                 self.stats.latencies_s.append(now - t_sub)
                 fut.set_result(hyps)
@@ -275,7 +288,8 @@ class DecodeService:
             # p99 3.0 s at 0.3x load, benchmarks/serve_bench.json r04)
             until = None
             if pending is not None:
-                until = pending[2] + 0.9 * self._ema_batch_s
+                until = pending[2] + min(0.9 * self._ema_batch_s,
+                                         self.gather_cap_s)
             reqs = self._gather_batch(block=pending is None, until=until)
             nxt = None
             if reqs:

@@ -119,6 +119,22 @@ class TestNgram:
         assert lm2.ngram("x") == {"y": 1}
         assert np.isclose(lm2.logprob("y", ["x"]), lm.logprob("y", ["x"]))
 
+    def test_save_load_roundtrips_smoothing(self, tmp_path):
+        """A WB LM loaded into a default Ngram() must keep scoring WB
+        (smoothing/lambda_interp persist; ADVICE r04): same counts under
+        JM vs WB give different backoff probabilities."""
+        lm = Ngram(3, smoothing="wb", lambda_interp=0.4)
+        lm.train([["a", "b", "c"], ["a", "b", "d"], ["e", "b", "c"]])
+        p = str(tmp_path / "lm_wb.json")
+        lm.save(p)
+        lm2 = Ngram()  # defaults: jm, 0.7 — must be overridden by load
+        lm2.init_gram(p)
+        assert lm2.smoothing == "wb"
+        assert lm2.lambda_interp == 0.4
+        assert lm2.n == 3
+        for w, ctx in [("c", ["a", "b"]), ("d", ["b"]), ("q", ["a"])]:
+            assert np.isclose(lm2.logprob(w, ctx), lm.logprob(w, ctx))
+
     def test_ngram_matches_full_scan(self):
         """The successor index must equal the brute-force scan over all
         stored k-grams (the pre-round-2 implementation)."""

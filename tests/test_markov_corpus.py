@@ -4,8 +4,12 @@ markov_order=2``).
 The default corpus draws words i.i.d. from a Zipf marginal, so any LM
 above order 1 is informationless by construction — which made trigram
 rescoring demonstrations vacuous (r04 flagship: delta exactly 0.0).
-The structured mode samples each word from a seeded hash of the
-previous two, shared between train and test via ``grammar_seed``.
+The structured mode builds sentences from a seeded 3-word collocation
+phrase inventory whose middle words come from a small shared pool (see
+the grammar block in ``generate_formant_corpus``): after a middle word
+a bigram splits its mass across every phrase sharing it, while the
+two-word history resolves the continuation exactly.  Train and test
+share the inventory via ``grammar_seed``.
 
 Pinned here: (1) a trigram beats a bigram in held-out perplexity on
 structured transcripts but not on i.i.d. ones; (2) the grammar is

@@ -220,6 +220,50 @@ class TestDecodeService:
             svc.close()
         # without the adaptive window every trickled request dispatches
         # ~alone (8-9 batches); with it they coalesce near the device
-        # rate: first solo batch + ~ceil(8/ (0.25/0.04)) groups
-        assert len(dec.batches) <= 5, dec.batches
+        # rate: first solo batch + ~ceil(8/ (0.25/0.04)) groups.  Bound
+        # is loose (<=6) because the trickle thread runs on wall-clock
+        # sleeps and a loaded CI host can delay it past a gather window
+        assert len(dec.batches) <= 6, dec.batches
         assert sum(dec.batches) == 9
+
+    def test_compile_sample_excluded_from_ema(self):
+        """The first collect (JIT compile — minutes for large graphs)
+        must not seed the adaptive-gather EMA, and the window is
+        hard-capped by gather_cap_s, so a cold start cannot hold later
+        requests hostage for 0.9x a compile-inflated estimate."""
+        import time as _time
+
+        class CompileThenFastDec:
+            def __init__(self):
+                self.n = 0
+
+            def decode_dispatch(self, feats, nf, return_nbest=1,
+                                mesh=None):
+                self.n += 1
+                # first batch simulates a slow compile
+                busy = 0.5 if self.n == 1 else 0.01
+                return (_time.monotonic() + busy, len(nf))
+
+            def decode_collect(self, handle):
+                t_done, b = handle
+                _time.sleep(max(0.0, t_done - _time.monotonic()))
+                return [[] for _ in range(b)]
+
+        feats = np.zeros((8, 4), np.float32)
+        svc = DecodeService(CompileThenFastDec(), batch_size=2,
+                            frame_bucket=8, max_wait_s=0.001,
+                            gather_cap_s=0.05)
+        try:
+            svc.submit(feats).result(timeout=10)   # compile batch
+            assert svc._ema_batch_s == 0.0, \
+                "compile sample must not seed the EMA"
+            svc.submit(feats).result(timeout=10)   # fast batch, timed
+            # pathological EMA (e.g. a later shape recompile) must be
+            # capped: a lone follow-up request resolves well under
+            # 0.9 * EMA thanks to gather_cap_s
+            svc._ema_batch_s = 30.0
+            t0 = _time.monotonic()
+            svc.submit(feats).result(timeout=10)
+            assert _time.monotonic() - t0 < 5.0
+        finally:
+            svc.close()
