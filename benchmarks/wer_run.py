@@ -282,6 +282,13 @@ def main():
                          "by construction); 2 = seeded second-order "
                          "grammar shared by train and test, giving "
                          "trigram rescoring a measurable target")
+    ap.add_argument("--wb-arm", action="store_true",
+                    help="additionally decode the test set with a "
+                         "Witten-Bell-smoothed FIRST-PASS bigram (per-"
+                         "row backoff decoder tables, "
+                         "lm/ngram.py bigram_tables_backoff), its own "
+                         "dev sweep — the JM-vs-WB first-pass "
+                         "comparison (ROADMAP r04 item 3)")
     ap.add_argument("--var-floor-scale", type=float, default=0.0,
                     help="relative per-dim variance floor "
                          "(model.var_floor_scale); 0 = the reference's "
@@ -510,6 +517,50 @@ def main():
         f"in {decode_s:.0f}s (+{feat_s:.0f}s frontend)")
     log(f"WER={res.wer:.3f} SER={res.ser:.3f}")
 
+    # optional Witten-Bell first-pass arm: same trained model, same
+    # sweep grid, only the bigram smoothing differs (JM's context-
+    # independent backoff column vs WB's per-row lambda) — the decoder-
+    # table capability round 4 left designed-but-unbuilt (ROADMAP 3)
+    wb_block = None
+    if args.wb_arm:
+        lm_wb = Ngram(2, smoothing="wb")
+        lm_wb.train([words for _, words in trans_tr])
+        bw_w, bw_pen, bw_wer = args.lm_weight, 0.0, None
+        for w in (12.0, 20.0, 28.0):
+            for pen in (20.0, 40.0, 60.0, 80.0):
+                d = DeviceBeamDecoder(bank, flat, lm=lm_wb, lm_weight=w,
+                                      word_penalty=pen)
+                out = d.decode_batch(dev.feats, dev_nf)
+                hy = [[x for x in h[0].words if x != "<sil>"] if h else []
+                      for h in out]
+                r = wer_fn(dev_refs, hy)
+                if bw_wer is None or r.wer < bw_wer:
+                    bw_w, bw_pen, bw_wer = w, pen, r.wer
+        log(f"wb sweep picked lm_weight={bw_w} word_penalty={bw_pen} "
+            f"(dev WER={bw_wer:.3f})")
+        dec_wb = DeviceBeamDecoder(bank, flat, lm=lm_wb, lm_weight=bw_w,
+                                   word_penalty=bw_pen)
+        t0 = time.time()
+        hyps_wb = []
+        for lo in range(0, len(feats), 128):
+            out = dec_wb.decode_batch(feats[lo: lo + 128],
+                                      nf[lo: lo + 128])
+            hyps_wb.extend(
+                [w for w in h[0].words if w != "<sil>"] if h else []
+                for h in out)
+        res_wb = wer_fn(refs, hyps_wb)
+        wb_block = {
+            "smoothing": "wb (per-row backoff decoder tables)",
+            "lm_weight": bw_w,
+            "word_penalty": bw_pen,
+            "dev_wer": round(bw_wer, 4),
+            "wer": round(res_wb.wer, 4),
+            "ser": round(res_wb.ser, 4),
+            "wer_delta_vs_jm_first_pass": round(res_wb.wer - res.wer, 4),
+            "decode_seconds": round(time.time() - t0, 1),
+        }
+        log(f"WB first pass: WER={res_wb.wer:.3f} (JM {res.wer:.3f})")
+
     # optional two-pass trigram: bigram decode n-best, higher-order
     # rescore (Decoder.py:201-204 per-order Ngram intent)
     rescore_block = None
@@ -647,6 +698,7 @@ def main():
         "var_floor_scale": float(args.var_floor_scale),
         "lm_structure": int(args.lm_structure),
         "homophones_requested": int(args.homophones),
+        "first_pass_wb": wb_block,
         "rescore": rescore_block,
         "vocab_uniqueness": ("pronunciation-unique incl. tone"
                              if args.pitch else

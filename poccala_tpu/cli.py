@@ -419,7 +419,7 @@ def cmd_build_lexicon(args):
 def cmd_train_lm(args):
     from poccala_tpu.lm import Ngram
 
-    lm = Ngram(args.order)
+    lm = Ngram(args.order, smoothing=args.smoothing)
     with open(args.text) as f:
         sentences = [line.split() for line in f if line.strip()]
     lm.train(sentences)
@@ -536,6 +536,11 @@ def build_parser() -> argparse.ArgumentParser:
     lm = sub.add_parser("train-lm")
     lm.add_argument("--text", required=True)
     lm.add_argument("--order", type=int, default=2)
+    lm.add_argument("--smoothing", choices=("jm", "wb"), default="jm",
+                    help="jm: fixed-weight interpolation; wb: Witten-"
+                         "Bell (persists into the file; a WB bigram "
+                         "attaches to the first-pass decoder via per-"
+                         "row backoff tables)")
     lm.add_argument("--out", required=True)
     lm.set_defaults(fn=cmd_train_lm)
     return p

@@ -124,13 +124,13 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         self._j_lm_sparse = None
         self._j_lm_flat = None
         if self._lm_sparse is not None:
-            uni, base, keys, vals = self._lm_sparse
+            uni, rboff, cbase, keys, vals = self._lm_sparse
             v = self._n_vocab
             if (v + 1) * v >= 2**31:
                 raise ValueError(
                     f"sparse device LM keys overflow int32 at V={v}")
             self._j_lm_sparse = (
-                jnp.asarray(uni), jnp.asarray(base),
+                jnp.asarray(uni), jnp.asarray(rboff), jnp.asarray(cbase),
                 jnp.asarray(keys.astype(np.int32)), jnp.asarray(vals),
             )
         elif self._lm_tab is not None:
@@ -312,16 +312,20 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         v = self._n_vocab
         pen = float(self.word_penalty)
         if self._j_lm_sparse is not None:
-            uni, base, keys, vals = self._j_lm_sparse
+            uni, rboff, cbase, keys, vals = self._j_lm_sparse
             nb = keys.shape[0]
 
             def f(l_r, w_r):
                 w_c = jnp.clip(w_r, 0, v - 1)
-                kq = jnp.clip(l_r, 0, v) * v + w_c
+                l_c = jnp.clip(l_r, 0, v)
+                kq = l_c * v + w_c
                 idx = jnp.searchsorted(keys, kq)
                 idx_c = jnp.minimum(idx, nb - 1)
                 found = (idx < nb) & (keys[idx_c] == kq)
-                val = jnp.where(found, vals[idx_c], base[w_c])
+                # unseen pair: per-row backoff (JM: rboff = 0; WB:
+                # rboff[p] = w*log10(1-λ_p)) + backoff column
+                val = jnp.where(found, vals[idx_c],
+                                rboff[l_c] + cbase[w_c])
                 return jnp.where(l_r >= v, uni[w_c], val)
 
             return f

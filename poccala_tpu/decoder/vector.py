@@ -69,17 +69,25 @@ class VectorBeamDecoder(BeamDecoder):
         self._vocab = vocab
         self._word_tab = word_tab
         # LM tables over the lexicon vocabulary.  Ngram-style LMs
-        # (anything exposing ``bigram_tables``) stay SPARSE — unigram +
-        # unseen-backoff vectors plus sorted observed-bigram keys — so a
-        # full-vocabulary decode (37.5k words from Mandarin.dat) never
-        # materializes the 5.8 GB dense [V+1, V] table.  Foreign LM
-        # objects fall back to a dense table via per-pair logprob calls.
+        # (anything exposing ``bigram_tables_backoff``) stay SPARSE —
+        # unigram + per-row/column backoff vectors plus sorted
+        # observed-bigram keys — so a full-vocabulary decode (37.5k
+        # words from Mandarin.dat) never materializes the 5.8 GB dense
+        # [V+1, V] table.  Foreign LM objects fall back to a dense
+        # table via per-pair logprob calls.
         v = len(vocab)
         self._lm_tab = None
         self._lm_sparse = None
         if self.lm is not None and v:
-            if hasattr(self.lm, "bigram_tables"):
-                uni, base, rows, cols, vals = self.lm.bigram_tables(vocab)
+            if hasattr(self.lm, "bigram_tables_backoff"):
+                # per-row backoff form: unseen (p, q) scores
+                # row_boff[p] + col_base[q].  Covers JM (row_boff = 0)
+                # AND Witten-Bell (row_boff[p] = log(1-λ_p)), so the
+                # better-smoothed LM attaches to the first pass
+                # (Decoder.py:201-204 builds an Ngram per order for
+                # exactly this; previously 'wb' was rescoring-only)
+                uni, rboff, cbase, rows, cols, vals = \
+                    self.lm.bigram_tables_backoff(vocab)
                 keys = rows.astype(np.int64) * v + cols
                 order = np.argsort(keys)
                 keys = keys[order]
@@ -87,10 +95,15 @@ class VectorBeamDecoder(BeamDecoder):
                 if len(keys) == 0:  # sentinel: never matches (k >= 0)
                     keys = np.asarray([-1], np.int64)
                     vals = np.zeros(1)
+                # row V (no-previous-word) never reaches the backoff
+                # path (the uni branch wins) — pad with 0 so the gather
+                # stays in bounds
+                rboff = np.concatenate([rboff, [0.0]])
                 self._lm_sparse = (
                     (self.lm_weight * uni - self.word_penalty)
                     .astype(np.float32),
-                    (self.lm_weight * base - self.word_penalty)
+                    (self.lm_weight * rboff).astype(np.float32),
+                    (self.lm_weight * cbase - self.word_penalty)
                     .astype(np.float32),
                     keys,
                     (self.lm_weight * vals - self.word_penalty)
@@ -110,7 +123,7 @@ class VectorBeamDecoder(BeamDecoder):
         insertion penalty when no LM is attached.  ``last_word == V``
         means no-previous-word (the unigram row)."""
         if self._lm_sparse is not None:
-            uni, base, keys, vals = self._lm_sparse
+            uni, rboff, cbase, keys, vals = self._lm_sparse
             last_word = np.asarray(last_word)
             words = np.asarray(words)
             v = len(uni)
@@ -118,7 +131,8 @@ class VectorBeamDecoder(BeamDecoder):
             idx = np.searchsorted(keys, k)
             idx_c = np.minimum(idx, len(keys) - 1)
             found = (idx < len(keys)) & (keys[idx_c] == k)
-            val = np.where(found, vals[idx_c], base[words])
+            val = np.where(found, vals[idx_c],
+                           rboff[last_word] + cbase[words])
             return np.where(last_word == v, uni[words], val)
         if self._lm_tab is None:
             return np.full(np.broadcast(last_word, words).shape,

@@ -203,16 +203,97 @@ class Ngram:
             np.asarray(vals_l, np.float64),
         )
 
+    def bigram_tables_backoff(self, vocab: list[str]):
+        """Sparse bigram scores over ``vocab`` in the per-row-backoff
+        form the device decoder gathers from: an unseen pair (p, q)
+        scores ``row_boff[p] + col_base[q]`` (one extra static-index
+        gather per lookup), which is expressive enough for both
+        smoothing modes:
+
+        * ``'jm'``  — ``row_boff = 0``, ``col_base[q] =
+          log10((1-λ)·P_uni(q))`` (the context-independent backoff
+          column of :meth:`bigram_tables`);
+        * ``'wb'``  — Witten-Bell per-context weights
+          ``λ_p = c(p) / (c(p) + distinct_successors(p))``:
+          ``row_boff[p] = log10(1-λ_p)`` (0 for unseen contexts, full
+          backoff), ``col_base[q] = log10(P_uni(q))``.
+
+        This is what lets the measurably better WB LM attach to the
+        first-pass decoder (the reference builds an Ngram per order for
+        exactly that use, ``Decoder.py:201-204``); previously 'wb' was
+        rescoring-only (ROADMAP r04 item 3).
+
+        :returns: ``(uni, row_boff, col_base, rows, cols, vals)`` — all
+            log10; ``uni[q] = logprob(vocab[q], [])`` (the no-previous-
+            word row); ``(rows, cols, vals)`` the observed-bigram
+            corrections, numerically identical to per-pair
+            :meth:`logprob` calls (property-tested).
+        """
+        v = max(len(self.vocab), 1)
+        c1 = np.array(
+            [self.counts[0].get(w, 0) for w in vocab], dtype=np.float64
+        )
+        uni_p = (c1 + 1.0) / (self.total_unigrams + v)
+        uni = np.log10(np.maximum(uni_p, 1e-12))
+        n_v = len(vocab)
+        row_boff = np.zeros(n_v, np.float64)
+        if self.smoothing == "jm":
+            lam_of = np.full(n_v, self.lambda_interp)
+            col_base = np.log10(
+                np.maximum((1 - self.lambda_interp) * uni_p, 1e-12))
+        else:  # wb
+            col_base = uni.copy()
+            lam_of = np.zeros(n_v, np.float64)
+            for i, w in enumerate(vocab):
+                den = self.counts[0].get(w, 0)
+                if den == 0:
+                    continue  # unseen history: full backoff, no penalty
+                distinct = len(self._succ[1].get(w, {})) if self.n >= 2 \
+                    else 0
+                lam = den / (den + max(distinct, 1))
+                lam_of[i] = lam
+                row_boff[i] = math.log10(max(1.0 - lam, 1e-12))
+        rows_l: list[int] = []
+        cols_l: list[int] = []
+        vals_l: list[float] = []
+        if self.n >= 2:
+            index = {w: i for i, w in enumerate(vocab)}
+            for prefix, succ in self._succ[1].items():
+                p_idx = index.get(prefix)
+                if p_idx is None:
+                    continue
+                den = self.counts[0].get(prefix, 0)
+                if den == 0:
+                    continue
+                lam = lam_of[p_idx]
+                for word, num in succ.items():
+                    q_idx = index.get(word)
+                    if q_idx is None or num == 0:
+                        continue
+                    p = lam * (num / den) + (1 - lam) * uni_p[q_idx]
+                    rows_l.append(p_idx)
+                    cols_l.append(q_idx)
+                    vals_l.append(math.log10(max(p, 1e-12)))
+        return (
+            uni,
+            row_boff,
+            col_base,
+            np.asarray(rows_l, np.int64),
+            np.asarray(cols_l, np.int64),
+            np.asarray(vals_l, np.float64),
+        )
+
     def bigram_matrix(self, vocab: list[str]) -> np.ndarray:
         """Dense ``[V+1, V]`` decoder LM table (row ``V`` = no-previous-
-        word unigram row), materialized from :meth:`bigram_tables` —
-        broadcast the backoff column then scatter the observed bigrams.
-        Dense is what the on-device decode scan gathers from; for very
-        large vocabularies prefer :meth:`bigram_tables` and a custom
-        layout."""
+        word unigram row), materialized from
+        :meth:`bigram_tables_backoff` — outer-sum the row/column backoff
+        then scatter the observed bigrams.  Works for both smoothing
+        modes; for very large vocabularies prefer the sparse form."""
         v_sz = len(vocab)
-        uni, base, rows, cols, vals = self.bigram_tables(vocab)
-        tab = np.broadcast_to(base, (v_sz + 1, v_sz)).copy()
+        uni, row_boff, col_base, rows, cols, vals = \
+            self.bigram_tables_backoff(vocab)
+        tab = np.empty((v_sz + 1, v_sz))
+        tab[:v_sz] = row_boff[:, None] + col_base[None, :]
         tab[rows, cols] = vals
         tab[v_sz] = uni
         return tab

@@ -19,11 +19,13 @@ def _rand_lm(rng, vocab, n_sent=40):
 
 
 class TestSparseLmLookup:
-    def test_matches_dense_matrix(self, rng):
+    @pytest.mark.parametrize("smoothing", ["jm", "wb"])
+    def test_matches_dense_matrix(self, rng, smoothing):
         from poccala_tpu.decoder.vector import VectorBeamDecoder
 
         vocab = [f"w{i}" for i in range(37)]
         lm = _rand_lm(rng, vocab)
+        lm.smoothing = smoothing
         dense = lm.bigram_matrix(vocab)
 
         # a decoder instance only for its _lm_lookup machinery
@@ -36,12 +38,14 @@ class TestSparseLmLookup:
 
         d = _D()
         v = len(vocab)
-        uni, base, rows, cols, vals = lm.bigram_tables(vocab)
+        uni, rboff, cbase, rows, cols, vals = \
+            lm.bigram_tables_backoff(vocab)
         keys = rows.astype(np.int64) * v + cols
         order = np.argsort(keys)
         d._lm_sparse = (
             (7.0 * uni - 3.0).astype(np.float32),
-            (7.0 * base - 3.0).astype(np.float32),
+            (7.0 * np.concatenate([rboff, [0.0]])).astype(np.float32),
+            (7.0 * cbase - 3.0).astype(np.float32),
             keys[order],
             (7.0 * vals[order] - 3.0).astype(np.float32),
         )
@@ -53,9 +57,44 @@ class TestSparseLmLookup:
         want = 7.0 * dense[last, words] - 3.0
         assert np.allclose(got, want, rtol=1e-5, atol=1e-5)
 
-    def test_device_sparse_equals_dense_fallback(self, rng):
+    @pytest.mark.parametrize("smoothing", ["jm", "wb"])
+    def test_backoff_tables_match_logprob(self, rng, smoothing):
+        """bigram_tables_backoff must reproduce per-pair logprob for
+        seen pairs, unseen pairs (row_boff + col_base) and the
+        no-previous-word row, in BOTH smoothing modes — the property
+        that lets WB attach to the first-pass decoder."""
+        vocab = [f"w{i}" for i in range(23)]
+        lm = Ngram(2, smoothing=smoothing)
+        sents = [
+            [vocab[i] for i in rng.integers(0, 15, size=rng.integers(1, 6))]
+            for _ in range(30)
+        ]  # words 15..22 stay unseen (zero-count contexts)
+        lm.train(sents)
+        uni, rboff, cbase, rows, cols, vals = \
+            lm.bigram_tables_backoff(vocab)
+        for i in range(len(rows)):
+            want = lm.logprob(vocab[cols[i]], [vocab[rows[i]]])
+            assert np.isclose(vals[i], want), (smoothing, i)
+        seen = set(zip(rows.tolist(), cols.tolist()))
+        n_checked = 0
+        for p in range(len(vocab)):
+            for q in range(0, len(vocab), 5):
+                if (p, q) in seen:
+                    continue
+                want = lm.logprob(vocab[q], [vocab[p]])
+                assert np.isclose(rboff[p] + cbase[q], want), \
+                    (smoothing, p, q, rboff[p] + cbase[q], want)
+                n_checked += 1
+        assert n_checked > 20
+        for q in range(len(vocab)):
+            assert np.isclose(uni[q], lm.logprob(vocab[q], []))
+
+    @pytest.mark.parametrize("smoothing", ["jm", "wb"])
+    def test_device_sparse_equals_dense_fallback(self, rng, smoothing):
         """Decode with the Ngram (sparse path) vs a foreign-LM wrapper of
-        the same model (dense fallback path): identical hypotheses."""
+        the same model (dense fallback path): identical hypotheses.
+        Runs in both smoothing modes — 'wb' pins the per-row backoff
+        gather end to end through the device scan."""
         import dataclasses
 
         import jax.numpy as jnp
@@ -80,6 +119,7 @@ class TestSparseLmLookup:
         flat = FlatLexicon.from_tree(lex.lexicon, inv)
 
         lm = _rand_lm(rng, ["你好", "你", "马", "好"])
+        lm.smoothing = smoothing
 
         class ForeignLm:
             """No bigram_tables -> forces the dense fallback."""
