@@ -36,6 +36,56 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# Tolerance for the round-over-round throughput guard: the r04 headline
+# slipped 7% train / 2% decode vs r03 with nothing tracking it (VERDICT
+# r04 weak #3); session variance on this tunneled chip is a few percent,
+# so 10% marks a real event without flagging noise.
+GUARD_TOLERANCE = 0.10
+
+
+def load_prev_bench(root=None):
+    """Best prior round's numbers from the committed BENCH_r*.json
+    files (their ``tail`` text carries both metric lines)."""
+    import glob
+    import re
+
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    prev = {}
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for line in re.findall(r"\{[^\n]*\}", data.get("tail", "")):
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in d and "value" in d:
+                prev[d["metric"]] = {"value": d["value"],
+                                     "round": os.path.basename(path)}
+    return prev
+
+
+def guard(metric: str, value: float, prev: dict) -> dict:
+    """Compare against the previous round; loud stderr WARNING on a
+    slip beyond GUARD_TOLERANCE so a regression is a flagged event,
+    not archaeology.  Returns fields to merge into the JSON line."""
+    p = prev.get(metric)
+    if not p or not p["value"]:
+        return {}
+    ratio = value / p["value"]
+    fields = {"vs_prev_round": round(ratio, 3),
+              "prev_value": p["value"]}
+    if ratio < 1.0 - GUARD_TOLERANCE:
+        log(f"WARNING: {metric} regressed {100 * (1 - ratio):.1f}% vs "
+            f"{p['round']} ({value:.1f} vs {p['value']:.1f} audio-s/s, "
+            f"tolerance {GUARD_TOLERANCE:.0%})")
+        fields["regression_flag"] = True
+    return fields
+
+
 def main():
     import jax
 
@@ -122,20 +172,23 @@ def main():
     audio_seconds = batch * utt_seconds * iters
     value = audio_seconds / elapsed
     log(f"{audio_seconds:.0f} audio-s in {elapsed:.2f}s")
+    prev = load_prev_bench()
     print(json.dumps({
         "metric": "train_em_plus_viterbi_audio_throughput",
         "value": round(value, 2),
         "unit": "audio-s/s",
         "vs_baseline": round(value / 100.0, 3),
+        **guard("train_em_plus_viterbi_audio_throughput", value, prev),
     }), flush=True)
 
     try:
-        bench_decode(cfg, fe, rng)
+        bench_decode(cfg, fe, rng, prev=prev)
     except Exception as e:  # decode metric must never cost the headline
         log(f"decode bench failed: {type(e).__name__}: {e}")
 
 
-def bench_decode(cfg, fe, rng, batch=256, utt_seconds=4.0, calls=3):
+def bench_decode(cfg, fe, rng, batch=256, utt_seconds=4.0, calls=3,
+                 prev=None):
     """Device-tier decode throughput (BASELINE north star: decode at
     >=100x real-time).  End-to-end per call: MFCC frontend -> one jitted
     program (GMM frame scoring + dense graph-Viterbi scan + on-device
@@ -218,6 +271,7 @@ def bench_decode(cfg, fe, rng, batch=256, utt_seconds=4.0, calls=3):
         "vs_baseline": round(value / 100.0, 3),
         "batch": batch,
         "lexicon_nodes": int(flat.n_nodes),
+        **guard("decode_audio_throughput", value, prev or {}),
     }), flush=True)
 
 
