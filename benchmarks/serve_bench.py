@@ -58,7 +58,7 @@ def main():
         f"{bank.num_states} senones")
 
     rng = np.random.default_rng(0)
-    batch_size, frame_bucket = 8, 128
+    frame_bucket = 128
     # request pool: 2-4 s utterances (200-400 frames), pre-featurized —
     # the bench isolates serving/decode latency; frontend cost is
     # covered by scaling.json
@@ -69,71 +69,148 @@ def main():
         pool.append(rng.normal(size=(t, 39)).astype(np.float32))
     mean_audio_s = float(np.mean([p.shape[0] for p in pool])) * 0.01
 
-    # ---- capacity: saturated service (all requests queued up front)
-    with DecodeService(dec, batch_size=batch_size,
-                       frame_bucket=frame_bucket, max_wait_s=0.02) as svc:
-        svc.decode_many(pool[:16])  # warm/compile both buckets
-        t0 = time.time()
-        svc.decode_many(pool * 4)
-        sat_s = time.time() - t0
-    capacity_rps = n_pool * 4 / sat_s
-    log(f"saturated: {capacity_rps:.1f} req/s "
-        f"({capacity_rps * mean_audio_s:.0f} audio-s/s)")
-
-    results = []
-    for frac in (0.3, 0.6, 0.9):
-        rate = capacity_rps * frac
-        n_req = max(96, int(rate * 12))
-        svc = DecodeService(dec, batch_size=batch_size,
-                            frame_bucket=frame_bucket, max_wait_s=0.02)
-        try:
-            svc.decode_many(pool[:16])  # warm
-            svc.stats.latencies_s.clear()
-            svc.stats.requests = 0
-            futs = []
+    # ---- the batch-size frontier (VERDICT r04 weak #2: one operating
+    # point does not position serving against the 13x offline gap) —
+    # saturated capacity plus open-loop p50/p99 at 0.6x/0.9x per batch
+    frontier = []
+    for batch_size in (8, 32, 128):
+        with DecodeService(dec, batch_size=batch_size,
+                           frame_bucket=frame_bucket,
+                           max_wait_s=0.02) as svc:
+            svc.decode_many(pool[:batch_size * 2])  # warm both buckets
             t0 = time.time()
-            arr = rng.exponential(1.0 / rate, size=n_req)  # Poisson gaps
-            for i in range(n_req):
-                futs.append(svc.submit(pool[i % n_pool]))
-                nxt = t0 + float(arr[: i + 1].sum())
-                pause = nxt - time.time()
-                if pause > 0:
-                    time.sleep(pause)
-            for f in futs:
-                f.result()
-            wall = time.time() - t0
-        finally:
-            svc.close()
-        lat = svc.stats.latency_summary()
-        row = {
-            "offered_fraction": frac,
-            "offered_rps": round(rate, 2),
-            "achieved_rps": round(n_req / wall, 2),
-            "audio_s_per_s": round(n_req * mean_audio_s / wall, 1),
-            "requests": n_req,
-            "latency": lat,
-            "batches": svc.stats.batches,
-            "padded_slots": svc.stats.padded_slots,
-        }
-        results.append(row)
-        log(str(row))
+            svc.decode_many(pool * 4)
+            sat_s = time.time() - t0
+        capacity_rps = n_pool * 4 / sat_s
+        log(f"B={batch_size} saturated: {capacity_rps:.1f} req/s "
+            f"({capacity_rps * mean_audio_s:.0f} audio-s/s)")
+
+        results = []
+        for frac in (0.6, 0.9):
+            rate = capacity_rps * frac
+            n_req = min(1500, max(96, int(rate * 12)))
+            svc = DecodeService(dec, batch_size=batch_size,
+                                frame_bucket=frame_bucket,
+                                max_wait_s=0.02)
+            try:
+                svc.decode_many(pool[:batch_size * 2])  # warm
+                svc.stats.latencies_s.clear()
+                svc.stats.requests = 0
+                futs = []
+                t0 = time.time()
+                arr = rng.exponential(1.0 / rate, size=n_req)
+                gaps = np.cumsum(arr)
+                for i in range(n_req):
+                    futs.append(svc.submit(pool[i % n_pool]))
+                    pause = t0 + float(gaps[i]) - time.time()
+                    if pause > 0:
+                        time.sleep(pause)
+                for f in futs:
+                    f.result()
+                wall = time.time() - t0
+            finally:
+                svc.close()
+            lat = svc.stats.latency_summary()
+            row = {
+                "offered_fraction": frac,
+                "offered_rps": round(rate, 2),
+                "achieved_rps": round(n_req / wall, 2),
+                "audio_s_per_s": round(n_req * mean_audio_s / wall, 1),
+                "requests": n_req,
+                "latency": lat,
+                "batches": svc.stats.batches,
+                "padded_slots": svc.stats.padded_slots,
+            }
+            results.append(row)
+            log(f"B={batch_size} {row}")
+        frontier.append({
+            "batch_size": batch_size,
+            "saturated_rps": round(capacity_rps, 2),
+            "saturated_audio_s_per_s": round(
+                capacity_rps * mean_audio_s, 1),
+            "open_loop": results,
+        })
+
+    streaming = bench_streaming(dec, rng, frame_bucket)
 
     out = {
         "lexicon_nodes": int(flat.n_nodes),
         "vocab_words": len(words),
         "senones": int(bank.num_states),
-        "batch_size": batch_size,
         "frame_bucket": frame_bucket,
         "mean_utt_audio_s": round(mean_audio_s, 2),
-        "saturated_rps": round(capacity_rps, 2),
-        "saturated_audio_s_per_s": round(capacity_rps * mean_audio_s, 1),
-        "open_loop": results,
+        "batch_frontier": frontier,
+        "streaming": streaming,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "serve_bench.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+
+def bench_streaming(dec, rng, frame_bucket, n_utts=8, chunk_frames=25):
+    """Chunked live-audio decode through ServiceStream vs buffering the
+    whole utterance: feed 25-frame (0.25 s) chunks paced in real time,
+    measure (a) first-partial latency (first chunk fed -> first interim
+    result), and (b) final-result latency (last chunk fed -> final
+    n-best) against the whole-utterance submit latency on an idle
+    service — the first-token-latency story chunk streaming exists for
+    (reference intent: record->decode loop, ``Decoder.py:190-218``)."""
+    from poccala_tpu.serve import DecodeService
+
+    utt_frames = 300  # 3 s
+    utts = [rng.normal(size=(utt_frames, 39)).astype(np.float32)
+            for _ in range(n_utts)]
+
+    first_partial, final_lat, oneshot_lat = [], [], []
+    with DecodeService(dec, batch_size=8, frame_bucket=frame_bucket,
+                       max_wait_s=0.005) as svc:
+        # warm: whole-utterance program + chunk program + finalize
+        svc.submit(utts[0]).result()
+        st = svc.open_stream(chunk_frames=chunk_frames,
+                             max_frames=utt_frames + chunk_frames)
+        st.feed(utts[0])
+        st.result().result()
+        st.close()
+
+        for x in utts:
+            t0 = time.time()
+            svc.submit(x).result()
+            oneshot_lat.append(time.time() - t0)
+
+            st = svc.open_stream(chunk_frames=chunk_frames,
+                                 max_frames=utt_frames + chunk_frames)
+            t_first = None
+            t0 = time.time()
+            for lo in range(0, utt_frames, chunk_frames):
+                st.feed(x[lo: lo + chunk_frames])
+                if lo == 0:
+                    st.result().result()  # first interim result
+                    t_first = time.time() - t0
+                else:
+                    time.sleep(chunk_frames * 0.01 * 0.5)  # 2x realtime
+            t_last = time.time()
+            st.result().result()
+            final_lat.append(time.time() - t_last)
+            first_partial.append(t_first)
+            st.close()
+
+    def pct(a):
+        a = np.asarray(a) * 1e3
+        return {"p50_ms": round(float(np.percentile(a, 50)), 2),
+                "max_ms": round(float(a.max()), 2)}
+
+    row = {
+        "utt_audio_s": utt_frames * 0.01,
+        "chunk_frames": chunk_frames,
+        "n_utts": n_utts,
+        "first_partial_latency": pct(first_partial),
+        "final_result_latency_after_last_chunk": pct(final_lat),
+        "whole_utterance_latency": pct(oneshot_lat),
+    }
+    log(f"streaming: {row}")
+    return row
 
 
 if __name__ == "__main__":

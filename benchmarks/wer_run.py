@@ -282,6 +282,17 @@ def main():
                          "by construction); 2 = seeded second-order "
                          "grammar shared by train and test, giving "
                          "trigram rescoring a measurable target")
+    ap.add_argument("--cd", action="store_true",
+                    help="context-dependent arm: after the CI decode, "
+                         "expand to within-word (left, unit, right) "
+                         "triples, tie states with per-(base, position) "
+                         "phonetic-context decision trees, clone from "
+                         "the CI bank, retrain, and decode the "
+                         "CD lexicon (models/context.py) — the CI "
+                         "numbers in the same artifact are the control")
+    ap.add_argument("--cd-senones", type=int, default=0,
+                    help="tied-senone budget for the CD trees "
+                         "(0 = 3x the CI senone count)")
     ap.add_argument("--wb-arm", action="store_true",
                     help="additionally decode the test set with a "
                          "Witten-Bell-smoothed FIRST-PASS bigram (per-"
@@ -517,6 +528,171 @@ def main():
         f"in {decode_s:.0f}s (+{feat_s:.0f}s frontend)")
     log(f"WER={res.wer:.3f} SER={res.ser:.3f}")
 
+    # optional context-dependent arm (BASELINE config 3's "triphone-
+    # style" clause; the reference is strictly CI, so the CI numbers
+    # above are the control — same corpus, same floor, same LM)
+    cd_block = None
+    if args.cd:
+        import dataclasses as _dc
+
+        from poccala_tpu.io.synth_formant import _synthesizable_entries
+        from poccala_tpu.models import context as ctx_mod
+        from poccala_tpu.train import alignment as align_mod
+        from poccala_tpu.train.trainer import Trainer as _Trainer
+
+        t_cd0 = time.time()
+        entries = _synthesizable_entries(vocab, py)
+        # training-label forms: the reading the corpus synthesizes
+        word_units_of = {
+            w: [[inv.id_of[a], inv.id_of[b]] for a, b in us]
+            for w, _, us in entries
+        }
+        # lexicon forms: ALL reading combinations (polyphonic chars),
+        # capped per word — the CI PronunciationLexicon covers every
+        # combination, so the CD graph must too for a fair pair;
+        # alternate-reading triples get zero training occupancy and
+        # back off through the trees
+        import itertools as _it
+
+        def reading_combos(w, cap=8):
+            per_syl = py.units_of(w)
+            if per_syl is None:
+                return []
+            per = []
+            for readings in per_syl:
+                opts, seen_o = [], set()
+                for us in readings:
+                    if len(us) == 2 and all(u in inv.id_of for u in us):
+                        o = (inv.id_of[us[0]], inv.id_of[us[1]])
+                        if o not in seen_o:
+                            seen_o.add(o)
+                            opts.append(o)
+                if not opts:
+                    return []
+                per.append(opts)
+            return [[list(s) for s in c]
+                    for c in _it.islice(_it.product(*per), cap)]
+
+        cd_entries = []
+        for w, _, _ in entries:
+            combos = reading_combos(w) or [word_units_of[w]]
+            for c in combos:
+                cd_entries.append((w, c))
+            if word_units_of[w] not in combos:
+                cd_entries.append((w, word_units_of[w]))
+        sil_id = inv.id_of["sil"]
+        cd_inv = ctx_mod.CDInventory.from_words(
+            [[u for s in syls for u in s] for _, syls in cd_entries],
+            inv, context_free=[sil_id])
+        log(f"cd: {len(cd_inv)} triples over {len(inv)} base units "
+            f"({len(cd_entries)} word-reading entries)")
+
+        # CD labels + CI-alignment stats over the whole train set
+        import jax.numpy as jnp
+        assert len(trans_tr) == n_train, (len(trans_tr), n_train)
+        cursor = 0
+        cd_batches = []
+        n_cd_states = cfg.model.emit_states
+        occ = np.zeros((len(cd_inv), n_cd_states))
+        s_mean = np.zeros((len(cd_inv), n_cd_states,
+                           cfg.frontend.feat_dim))
+        s_ex2 = np.zeros_like(s_mean)
+        for batch in batches:
+            nb_ = len(batch.feats)
+            word_seqs = [
+                [[u for s in word_units_of[w] for u in s]
+                 for w in trans_tr[cursor + j][1]]
+                for j in range(nb_)
+            ]
+            cursor += nb_
+            cd_labels = ctx_mod.expand_labels(
+                batch.labels, batch.label_lens, word_seqs, cd_inv)
+            _, lp = align_mod.align_batch(
+                bank, jnp.asarray(batch.labels),
+                jnp.asarray(batch.label_lens), jnp.asarray(batch.feats),
+                jnp.asarray(batch.t_masks), cfg.model.state_num,
+                cfg.train.max_label_len,
+                normalizer=cfg.model.gaussian_normalizer)
+            lp = np.asarray(lp)
+            ok = align_mod.check_alignment(lp, batch.labels,
+                                           batch.label_lens)
+            o, m, x2 = ctx_mod.collect_triple_stats(
+                batch.feats, cd_labels, lp, len(cd_inv), n_cd_states,
+                utt_ok=ok)
+            # fold batch moments occupancy-weighted
+            tot = occ + o
+            nz = tot > 0
+            s_mean[nz] = ((s_mean * occ[..., None]
+                           + m * o[..., None])[nz] / tot[nz][..., None])
+            s_ex2[nz] = ((s_ex2 * occ[..., None]
+                          + x2 * o[..., None])[nz] / tot[nz][..., None])
+            occ = tot
+            cd_batches.append(_dc.replace(batch, labels=cd_labels))
+        target = args.cd_senones or 3 * bank.num_states
+        trees = ctx_mod.grow_context_trees(
+            cd_inv, occ, s_mean, s_ex2, target_senones=target,
+            min_occ=16.0)
+        cd_bank = ctx_mod.build_cd_bank(bank, cd_inv, trees)
+        log(f"cd: tied to {trees.n_senones} senones "
+            f"(target {target}, {len(trees.splits_log)} splits)")
+
+        tr_cd = _Trainer(cfg, UnitInventory(
+            [f"cd{k}" for k in range(len(cd_inv))]))
+        tr_cd.bank = cd_bank
+        tr_cd.mix_level = tr.mix_level
+        tr_cd._var_floor_vec = tr._var_floor_vec
+        tr_cd.scheme1_round(cd_batches, init=False, smem=False)
+        tr_cd.auto(cd_batches, t=2, mode=2, init=False)
+        cd_bank = tr_cd.export_bank()
+        log(f"cd: retrained in {time.time()-t_cd0:.0f}s")
+
+        cd_flat = ctx_mod.build_cd_lexicon(
+            cd_entries, cd_inv, sil_word=("<sil>", sil_id))
+        log(f"cd lexicon: {cd_flat.n_nodes} nodes "
+            f"(ci {flat.n_nodes})")
+
+        cw, cpen, cwer = best_w, best_pen, None
+        for w_ in (12.0, 20.0, 28.0):
+            for pen in (20.0, 40.0, 60.0, 80.0):
+                d = DeviceBeamDecoder(cd_bank, cd_flat, lm=lm,
+                                      lm_weight=w_, word_penalty=pen)
+                out = d.decode_batch(dev.feats, dev_nf)
+                hy = [[x for x in h[0].words if x != "<sil>"]
+                      if h else [] for h in out]
+                r = wer_fn(dev_refs, hy)
+                if cwer is None or r.wer < cwer:
+                    cw, cpen, cwer = w_, pen, r.wer
+        log(f"cd sweep picked lm_weight={cw} word_penalty={cpen} "
+            f"(dev WER={cwer:.3f})")
+        dec_cd = DeviceBeamDecoder(cd_bank, cd_flat, lm=lm,
+                                   lm_weight=cw, word_penalty=cpen)
+        t0 = time.time()
+        hyps_cd = []
+        for lo in range(0, len(feats), 128):
+            out = dec_cd.decode_batch(feats[lo: lo + 128],
+                                      nf[lo: lo + 128])
+            hyps_cd.extend(
+                [w for w in h[0].words if w != "<sil>"] if h else []
+                for h in out)
+        res_cd = wer_fn(refs, hyps_cd)
+        cd_block = {
+            "triples": int(len(cd_inv)),
+            "senones": int(cd_bank.num_states),
+            "target_senones": int(target),
+            "splits": len(trees.splits_log),
+            "top_splits": trees.splits_log[:12],
+            "lexicon_nodes": int(cd_flat.n_nodes),
+            "lm_weight": cw,
+            "word_penalty": cpen,
+            "dev_wer": round(cwer, 4),
+            "wer": round(res_cd.wer, 4),
+            "ser": round(res_cd.ser, 4),
+            "wer_delta_vs_ci": round(res_cd.wer - res.wer, 4),
+            "decode_seconds": round(time.time() - t0, 1),
+            "train_seconds": round(time.time() - t_cd0, 1),
+        }
+        log(f"CD WER={res_cd.wer:.3f} (CI control {res.wer:.3f})")
+
     # optional Witten-Bell first-pass arm: same trained model, same
     # sweep grid, only the bigram smoothing differs (JM's context-
     # independent backoff column vs WB's per-row lambda) — the decoder-
@@ -698,6 +874,7 @@ def main():
         "var_floor_scale": float(args.var_floor_scale),
         "lm_structure": int(args.lm_structure),
         "homophones_requested": int(args.homophones),
+        "context_dependent": cd_block,
         "first_pass_wb": wb_block,
         "rescore": rescore_block,
         "vocab_uniqueness": ("pronunciation-unique incl. tone"

@@ -174,17 +174,30 @@ class Corpus:
 
     def _encode_label(self, names: list[str]) -> list[int]:
         """Label tokens -> unit ids, converting pinyin syllables to
-        units first in 'pinyin' label format (THCHS-30 style).  A token
-        that already names a unit passes through unconverted — this is
-        how non-phonetic units (e.g. a trained ``sil`` silence model)
-        appear in pinyin transcripts."""
+        units first in 'pinyin' label format (THCHS-30 style).
+
+        Conversion wins over unit-name pass-through: a token whose G2P
+        conversion lands entirely in the inventory uses the converted
+        units even when the token itself names a unit — ``er4`` is both
+        the XIF_tone final and a spellable syllable, and the syllable
+        reading (``#_e, er4``) is what the audio contains and what the
+        decode lexicon compiles (``PinYin.word2pinyin``), so labels
+        must match it (pre-r05 the unit name won and the zero-initial
+        unit silently vanished from training labels).  Pass-through
+        remains the fallback for non-convertible unit tokens — the
+        trained ``sil`` silence model's label token."""
         if self._pinyin is not None:
             units: list[str] = []
             for syl in names:
-                if syl in self.inventory.id_of:
+                conv = self._pinyin.syllable_to_units(syl)
+                if all(u in self.inventory.id_of for u in conv):
+                    units.extend(conv)
+                elif syl in self.inventory.id_of:
                     units.append(syl)
                 else:
-                    units.extend(self._pinyin.syllable_to_units(syl))
+                    # unknown either way: keep the token so encode()
+                    # raises KeyError -> bad-data discard upstream
+                    units.append(syl)
             names = units
         return self.inventory.encode(names)
 

@@ -41,11 +41,29 @@ import numpy as np
 
 
 @dataclass
+class _Call:
+    """A unit of stream work executed inline by the service worker
+    (serialized with batch dispatches on the one device pipeline)."""
+
+    fn: object
+    fut: Future | None = None
+
+    def run(self):
+        try:
+            self.fn()
+        except Exception as e:
+            if self.fut is not None and not self.fut.done():
+                self.fut.set_exception(e)
+
+
+@dataclass
 class ServiceStats:
     """Counters exposed as :attr:`DecodeService.stats`."""
 
     requests: int = 0
     batches: int = 0
+    stream_sessions: int = 0
+    stream_chunks: int = 0
     padded_slots: int = 0      # dead utterances dispatched as padding
     padded_frames: int = 0     # frame padding beyond each request's T
     frames: int = 0            # real (valid) frames decoded
@@ -150,6 +168,28 @@ class DecodeService:
             self._q.put((feats, n, fut, time.monotonic()))
         return fut
 
+    def open_stream(self, chunk_frames: int = 25,
+                    max_frames: int = 4096) -> "ServiceStream":
+        """Start a chunked (live-audio) decode session multiplexed onto
+        this service's worker/device (the reference's record→decode
+        serving intent, ``Decoder.py:190-218``, without buffering the
+        whole utterance).  Feed ``[Tc, D]`` feature chunks as audio
+        arrives; call :meth:`ServiceStream.result` at any point for the
+        current hypotheses (partial results), and after the last chunk
+        for the final ones — only the last chunk's advance plus the
+        n-best finalize remain on the critical path, not the whole
+        utterance's decode.
+
+        :param chunk_frames: fixed device chunk length — feeds are
+            re-buffered to this size (bounds compiled program count);
+            a final partial chunk is padded and masked
+        :param max_frames: session capacity (traceback table size)
+        """
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("DecodeService is closed")
+        return ServiceStream(self, int(chunk_frames), int(max_frames))
+
     def decode_many(self, feats_list, n_frames=None):
         """Pipelined batch convenience: submit everything, gather in
         order.  Equivalent to per-utterance ``decode_batch`` results."""
@@ -173,8 +213,11 @@ class DecodeService:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
-            if item is not None and not item[2].done():
-                item[2].set_exception(
+            if item is None:
+                continue
+            fut = item.fut if isinstance(item, _Call) else item[2]
+            if fut is not None and not fut.done():
+                fut.set_exception(
                     RuntimeError("DecodeService closed before decode"))
 
     def __enter__(self):
@@ -199,20 +242,25 @@ class DecodeService:
         whichever is later.  ``None`` items are shutdown wake-ups, not
         requests."""
         reqs = []
-        try:
-            if block:
-                item = self._q.get()
-            elif until is not None and not self._closed:
-                t = until - time.monotonic()
-                item = self._q.get(timeout=t) if t > 0 \
-                    else self._q.get_nowait()
-            else:
-                item = self._q.get_nowait()
-        except queue.Empty:
-            return reqs
-        if item is None:
-            return reqs
-        reqs.append(item)
+        while True:  # first request (stream work executes inline)
+            try:
+                if block:
+                    item = self._q.get()
+                elif until is not None and not self._closed:
+                    t = until - time.monotonic()
+                    item = self._q.get(timeout=t) if t > 0 \
+                        else self._q.get_nowait()
+                else:
+                    item = self._q.get_nowait()
+            except queue.Empty:
+                return reqs
+            if item is None:
+                return reqs
+            if isinstance(item, _Call):
+                item.run()
+                continue
+            reqs.append(item)
+            break
         deadline = time.monotonic() + self.max_wait_s
         if until is not None:
             deadline = max(deadline, until)
@@ -225,6 +273,9 @@ class DecodeService:
                 break
             if item is None:
                 break
+            if isinstance(item, _Call):
+                item.run()
+                continue
             reqs.append(item)
         return reqs
 
@@ -307,3 +358,97 @@ class DecodeService:
                 break
         if pending is not None:  # pragma: no cover - race at shutdown
             self._resolve(pending)
+
+
+class ServiceStream:
+    """One chunked decode session on a :class:`DecodeService`.
+
+    Wraps the device decoder's online API
+    (:meth:`~poccala_tpu.decoder.device.DeviceBeamDecoder.stream_init` /
+    ``stream_feed`` / ``stream_result``): the Viterbi carry and the
+    traceback lattice persist across chunks, and a chunked decode equals
+    the one-shot decode of the concatenated features exactly
+    (``tests/test_streaming_decode.py``).  All device work runs on the
+    service worker thread, serialized with batch dispatches; feed and
+    result are safe to call from one client thread.
+    """
+
+    def __init__(self, svc: DecodeService, chunk_frames: int,
+                 max_frames: int):
+        if chunk_frames < 1:
+            raise ValueError("chunk_frames must be >= 1")
+        self.svc = svc
+        self.chunk_frames = chunk_frames
+        self._st = svc.decoder.stream_init(batch=1, max_frames=max_frames)
+        self._buf: list[np.ndarray] = []
+        self._buffered = 0
+        self._closed = False
+        svc.stats.stream_sessions += 1
+
+    # ------------------------------------------------------------------
+    def feed(self, feats) -> None:
+        """Append ``[Tc, D]`` feature frames (any Tc); full
+        ``chunk_frames`` chunks are dispatched to the device as they
+        fill (asynchronously — this returns immediately)."""
+        if self._closed:
+            raise RuntimeError("stream is closed")
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2:
+            raise ValueError(f"expected [T, D] chunk, got {feats.shape}")
+        self._buf.append(feats)
+        self._buffered += len(feats)
+        while self._buffered >= self.chunk_frames:
+            flat = np.concatenate(self._buf, axis=0)
+            chunk, rest = flat[: self.chunk_frames], \
+                flat[self.chunk_frames:]
+            self._buf = [rest] if len(rest) else []
+            self._buffered = len(rest)
+            self._enqueue_chunk(chunk, self.chunk_frames)
+
+    def _enqueue_chunk(self, chunk: np.ndarray, n_valid: int) -> None:
+        st, svc = self._st, self.svc
+        if len(chunk) < self.chunk_frames:  # padded final partial chunk
+            chunk = np.pad(chunk,
+                           ((0, self.chunk_frames - len(chunk)), (0, 0)))
+
+        def run():
+            svc.decoder.stream_feed(st, chunk[None],
+                                    n_valid=np.asarray([n_valid]))
+            svc.stats.stream_chunks += 1
+            svc.stats.frames += n_valid
+
+        with svc._lock:
+            if svc._closed:
+                raise RuntimeError("DecodeService is closed")
+            svc._q.put(_Call(run))
+
+    def result(self, return_nbest: int = 1) -> Future:
+        """Current n-best (partial mid-stream, final after the last
+        feed).  Flushes any buffered partial chunk first.  Returns a
+        Future resolving to the hypothesis list."""
+        if self._buffered:
+            flat = np.concatenate(self._buf, axis=0)
+            self._buf, self._buffered = [], 0
+            self._enqueue_chunk(flat, len(flat))
+        fut: Future = Future()
+        st, svc = self._st, self.svc
+
+        def run():
+            hyps = svc.decoder.stream_result(st, return_nbest=return_nbest)
+            if not fut.done():
+                fut.set_result(hyps[0])
+
+        with svc._lock:
+            if svc._closed:
+                raise RuntimeError("DecodeService is closed")
+            svc._q.put(_Call(run, fut))
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

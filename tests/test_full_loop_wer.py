@@ -108,3 +108,17 @@ class TestFullLoopWer:
         joined = "".join(first_units)
         assert set(first_units) <= set(UNITS)
         assert len(first_units) % 2 == 0  # initial+final pairs
+
+    def test_conversion_beats_unit_name_passthrough(self):
+        """A token like ``er4`` names an XIF_tone unit AND spells a
+        syllable; the syllable reading (#_e, er4) is what the audio
+        contains and the lexicon compiles, so encoding must use it.
+        Non-convertible unit tokens (``sil``) still pass through."""
+        cfg = Config()
+        cfg.train.label_format = "pinyin"
+        inv = corpus_io.UnitInventory(
+            corpus_io.standard_inventory("XIF_tone") + ["sil"])
+        c = corpus_io.Corpus(cfg, inv, pairs=[])
+        ids = c._encode_label(["sil", "er4", "zu2", "sil"])
+        names = [inv.units[i] for i in ids]
+        assert names == ["sil", "#_e", "er4", "z", "u2", "sil"]

@@ -226,6 +226,53 @@ class TestDecodeService:
         assert len(dec.batches) <= 6, dec.batches
         assert sum(dec.batches) == 9
 
+    def test_stream_equals_oneshot(self, rng):
+        """A ServiceStream fed in ragged chunks yields exactly the
+        decoder's one-shot decode of the concatenated features, with
+        partial results available mid-stream."""
+        dec, utt = _world(rng)
+        x = utt([0, 1, 2, 3])  # ni3 hao3 -> 你好
+        want = dec.decode_batch(x[None], np.asarray([len(x)]),
+                                return_nbest=2)[0]
+        with DecodeService(dec, batch_size=2, frame_bucket=32,
+                           max_wait_s=0.001) as svc:
+            stream = svc.open_stream(chunk_frames=10, max_frames=256)
+            # ragged feeds: 7 + 13 + rest
+            stream.feed(x[:7])
+            stream.feed(x[7:20])
+            partial = stream.result().result(timeout=60)
+            assert isinstance(partial, list)
+            stream.feed(x[20:])
+            got = stream.result(return_nbest=2).result(timeout=60)
+        assert [h.words for h in got] == [h.words for h in want]
+        assert np.allclose([h.score for h in got],
+                           [h.score for h in want], rtol=1e-5)
+        assert svc.stats.stream_sessions == 1
+        assert svc.stats.stream_chunks >= 4
+
+    def test_stream_interleaves_with_batch_requests(self, rng):
+        """Stream chunks and micro-batched one-shot requests share the
+        worker without corrupting each other."""
+        dec, utt = _world(rng)
+        xs = [utt([0, 1]) for _ in range(4)]
+        x_s = utt([4, 5])  # ma1 -> 马
+        want_b = _oneshot(dec, xs, frame_bucket=32)
+        want_s = dec.decode_batch(
+            x_s[None], np.asarray([len(x_s)]))[0]
+        with DecodeService(dec, batch_size=2, frame_bucket=32,
+                           max_wait_s=0.02) as svc:
+            stream = svc.open_stream(chunk_frames=8, max_frames=128)
+            futs = []
+            for i, x in enumerate(xs):
+                stream.feed(x_s[i * 6: (i + 1) * 6])
+                futs.append(svc.submit(x))
+            stream.feed(x_s[24:])
+            got_s = stream.result().result(timeout=60)
+            got_b = [f.result(timeout=60) for f in futs]
+        for w, g in zip(want_b, got_b):
+            assert [h.words for h in w] == [h.words for h in g]
+        assert [h.words for h in got_s] == [h.words for h in want_s]
+
     def test_compile_sample_excluded_from_ema(self):
         """The first collect (JIT compile — minutes for large graphs)
         must not seed the adaptive-gather EMA, and the window is
