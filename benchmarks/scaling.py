@@ -112,8 +112,8 @@ def main():
         s_total = bank.num_states
         flops = 2 * x.shape[0] * 2 * cfg.frontend.feat_dim * s_total * mix
 
-        # frontend alone: XLA path and (where applicable) the fused
-        # Pallas kernel (ops/pallas/frontend_tpu.py)
+        # frontend alone: XLA path at both dot precisions (the Pallas
+        # frontend kernel was retired r05; ROADMAP negative results)
         def time_frontend(impl):
             @jax.jit
             def run():
@@ -129,12 +129,16 @@ def main():
             return (time.time() - t0) / 8 * 1000
 
         fe_ms = time_frontend(fe.batch_impl)
+        # (the Pallas frontend arm was retired in r05 — measured slower
+        # than the XLA path at every production shape; ROADMAP negative
+        # results.)  The bf16_3x precision arm replaces it:
         try:
             from dataclasses import replace as dc_replace
-            fe_pl = Frontend(dc_replace(cfg.frontend, use_pallas=True))
-            fe_pl_ms = time_frontend(fe_pl.batch_impl)
+            fe_hi = Frontend(dc_replace(cfg.frontend,
+                                        dot_precision="high"))
+            fe_hi_ms = time_frontend(fe_hi.batch_impl)
         except Exception:
-            fe_pl_ms = None
+            fe_hi_ms = None
 
         row = {
             "config": name,
@@ -144,8 +148,8 @@ def main():
             "pipeline_audio_s_per_s": round(pipeline, 1),
             "epoch_ms": round(dt * 1000, 2),
             "frontend_ms": round(fe_ms, 2),
-            "frontend_pallas_ms": (round(fe_pl_ms, 2)
-                                   if fe_pl_ms is not None else None),
+            "frontend_bf16x3_ms": (round(fe_hi_ms, 2)
+                                   if fe_hi_ms is not None else None),
             "scoring_ms": round(sdt * 1000, 2),
             "scoring_tflops": round(flops / sdt / 1e12, 2),
             "compile_s": round(compile_s, 1),

@@ -40,15 +40,18 @@ class FrontendConfig:
     frame_time_s: float = 0.025     # 25 ms frames (AudioProcessing.py:201)
     frame_overlap: float = 0.5      # 50% hop    (AudioProcessing.py:201)
     nfft: int = 512                 # rFFT size  (AudioProcessing.py:249)
-    # compute |rFFT| as two MXU matmuls against DFT basis matrices
-    # instead of the XLA FFT op (~2.6x faster on TPU for these sizes,
-    # matches rfft to ~1e-4 relative)
+    # compute |rFFT| as one concatenated MXU matmul against the DFT
+    # basis instead of the XLA FFT op (~2.6x faster on TPU for these
+    # sizes, matches rfft to ~1e-4 relative).  (A Pallas frontend
+    # kernel was retired in r05 as a measured negative result — the
+    # XLA matmul path beat it at every production shape; see ROADMAP.)
     matmul_dft: bool = True
-    # fused Pallas frontend core for batched extraction (framing→DCT in
-    # VMEM, ops/pallas/frontend_tpu.py).  None/False = XLA path (measured
-    # faster at production shapes — see Frontend.pallas_enabled); True =
-    # the Pallas kernel (requires matmul_dft + 50% overlap).
-    use_pallas: bool | None = None
+    # matmul precision for the frontend dots when matmul_dft:
+    # 'highest' = 6-pass f32-exact; 'high' = bf16_3x (~2x rate, oracle
+    # accuracy checked by benchmarks/frontend_opt.py); 'default' = one
+    # bf16 pass (measured ~0.15 absolute error in log-cepstra — do not
+    # use for training/parity)
+    dot_precision: str = "highest"
     pre_emphasis: float = 0.98      # (AudioProcessing.py:184)
     hamming_alpha: float = 0.46     # (AudioProcessing.py:228)
     num_filters: int = 26           # mel filters (AudioProcessing.py:280)

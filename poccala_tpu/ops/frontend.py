@@ -40,6 +40,13 @@ from poccala_tpu.config import FrontendConfig
 _LOG_EPS = 1e-10  # floor before log; the reference takes log(0) -> -inf
 
 
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,   # 6-pass f32-exact
+    "high": jax.lax.Precision.HIGH,         # bf16_3x
+    "default": jax.lax.Precision.DEFAULT,   # one bf16 pass
+}
+
+
 def mel_of_hz(hz):
     """Mel(f) = 2595 * ln(1 + f/700) (``AudioProcessing.py:307-308``)."""
     return 2595.0 * np.log(1.0 + np.asarray(hz) / 700.0)
@@ -128,7 +135,11 @@ class Frontend:
             self._window = None
         if cfg.matmul_dft:
             # DFT basis restricted to the first frame_size input rows
-            # (the rFFT zero-pads frames to nfft)
+            # (the rFFT zero-pads frames to nfft).  cos and sin are
+            # CONCATENATED into one [frame_size, 2K] operand so the
+            # spectrum needs a single MXU dot per batch instead of two
+            # half-width ones (same FLOPs, one pass over the frames
+            # operand -> less HBM traffic on the bandwidth-bound side).
             k = (
                 np.arange(cfg.nfft)[:, None]
                 * np.arange(cfg.nfft // 2 + 1)[None, :]
@@ -136,14 +147,8 @@ class Frontend:
             )[: cfg.frame_size]
             self._dft_cos = jnp.asarray(np.cos(k).astype(np.float32))
             self._dft_sin = jnp.asarray(np.sin(k).astype(np.float32))
-            if cfg.reference_quirks:
-                # quirks window is per *frame*, applied in-kernel
-                self._pl_cos, self._pl_sin = self._dft_cos, self._dft_sin
-            else:
-                # fold the per-sample window into the DFT bases:
-                # (frames * w) @ B == frames @ (w[:, None] * B)
-                self._pl_cos = self._dft_cos * self._window[:, None]
-                self._pl_sin = self._dft_sin * self._window[:, None]
+            self._dft_cs = jnp.concatenate(
+                [self._dft_cos, self._dft_sin], axis=1)
         self._mfcc_single = jax.jit(self._mfcc_impl)
         self._mfcc_batched = jax.jit(self.batch_impl)
 
@@ -201,15 +206,21 @@ class Frontend:
         else:
             win = frames * self._window[None, :]
 
-        # |rFFT| (AudioProcessing.py:248-264); as DFT matmuls on the MXU
-        # when cfg.matmul_dft (identical to ~1e-4 relative)
+        # |rFFT| (AudioProcessing.py:248-264); as one concatenated
+        # [T, frame] @ [frame, 2K] DFT matmul on the MXU when
+        # cfg.matmul_dft (identical to ~1e-4 relative)
         if cfg.matmul_dft:
-            # precision=HIGHEST: TPU f32 dots default to one bf16 MXU pass,
-            # which costs ~0.15 absolute in the final log-cepstra
-            re = jnp.dot(win, self._dft_cos, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            im = jnp.dot(win, self._dft_sin, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+            # dot_precision: TPU f32 dots default to ONE bf16 MXU pass,
+            # which costs ~0.15 absolute in the final log-cepstra.
+            # 'highest' (6-pass f32) is exact; 'high' (bf16_3x) is
+            # ~2x the matmul rate and measured oracle-tight at these
+            # magnitudes (benchmarks/frontend_opt.py decides defaults)
+            prec = _PRECISION[cfg.dot_precision]
+            k = self._dft_cos.shape[1]
+            cs = jnp.dot(win, self._dft_cs,
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
+            re, im = cs[:, :k], cs[:, k:]
             spec = jnp.sqrt(re * re + im * im)  # [T, nfft//2+1]
         else:
             spec = jnp.abs(jnp.fft.rfft(win, n=cfg.nfft, axis=-1))
@@ -222,11 +233,13 @@ class Frontend:
             energy = jnp.sum(spec * spec, axis=-1)
 
         # Mel filterbank + log + DCT: two MXU matmuls
+        prec_small = _PRECISION[cfg.dot_precision] if cfg.matmul_dft \
+            else jax.lax.Precision.HIGHEST
         fbank = jnp.dot(spec, self._fbank, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=prec_small)
         log_fbank = jnp.log(jnp.maximum(fbank, _LOG_EPS))
         ceps = jnp.dot(log_fbank, self._dct, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec_small)
 
         # c0 <- log frame energy (AudioProcessing.py:437-438)
         if cfg.energy_c0:
@@ -303,65 +316,21 @@ class Frontend:
         return self._post(ceps, t_true, mask), mask
 
     # ------------------------------------------------------------------
-    def pallas_enabled(self) -> bool:
-        """Whether the fused Pallas core handles the batched pipeline.
-
-        Auto mode (``use_pallas=None``) resolves to the XLA path: on a
-        v5e at batch 256 x 4 s the measured full pipeline is 3.9 ms
-        (XLA, HIGHEST-precision matmuls) vs 4.7 ms (Pallas kernel) —
-        XLA's single [B*T, frame] @ [frame, 2K] DFT matmul plus fusion
-        beats the kernel's per-tile grid at these shapes, so the kernel
-        is opt-in (``use_pallas=True``).  Both are oracle-exact
-        (<=3e-4 abs vs the fp64 reference pipeline); round 1's frontend
-        was 9.2 ms and 0.15 off the oracle on-chip (default-precision
-        dots + a gathered delta window).
-        """
-        cfg = self.cfg
-        if cfg.use_pallas is None:
-            return False
-        if not cfg.use_pallas:
-            return False
-        if cfg.pitch:
-            raise ValueError(
-                "use_pallas does not support the pitch feature column; "
-                "use the XLA path (use_pallas=None)")
-        if not (cfg.matmul_dft and cfg.frame_size == 2 * cfg.frame_step):
-            raise ValueError(
-                "use_pallas requires matmul_dft and 50% frame overlap "
-                "(frame_size == 2*frame_step)")
-        return True
-
-    def batch_impl(self, signals, n_samples, interpret: bool = False):
+    def batch_impl(self, signals, n_samples):
         """Traceable batched pipeline (embed inside an outer jit).
+        Returns ``([B, T, D] feats, [B, T] mask)``.
 
-        Routes the framing→DCT core through the fused Pallas kernel when
-        :meth:`pallas_enabled`, else vmaps the XLA pipeline.  Returns
-        ``([B, T, D] feats, [B, T] mask)``.
+        A fused Pallas frontend kernel existed through round 4 and was
+        RETIRED as a measured negative result (ROADMAP): XLA's single
+        [B*T, frame] @ [frame, 2K] DFT matmul plus elementwise fusion
+        beat the kernel's per-tile grid at every production shape
+        (config 2: 5.26 vs 6.23 ms; config 3: 5.30 vs 5.91 ms,
+        benchmarks/scaling.json r04), and it only won at the toy
+        config.  The XLA path IS the fast path.
         """
         signals = jnp.asarray(signals, dtype=jnp.float32)
         n_samples = jnp.asarray(n_samples)
-        if not self.pallas_enabled() and not interpret:
-            return jax.vmap(self._mfcc_impl)(signals, n_samples)
-        from poccala_tpu.ops.pallas.frontend_tpu import mfcc_core_pallas
-
-        cfg = self.cfg
-        t_pad = num_frames(signals.shape[1], self.frame_size, self.frame_step)
-        t_true = jnp.clip(
-            1 + jnp.ceil(
-                (n_samples - self.frame_size) / self.frame_step
-            ).astype(jnp.int32),
-            1, t_pad,
-        )
-        mask = jnp.arange(t_pad)[None, :] < t_true[:, None]
-        ceps = mfcc_core_pallas(
-            signals, n_samples, t_true,
-            self._pl_cos, self._pl_sin, self._fbank, self._dct,
-            step=self.frame_step, quirks=cfg.reference_quirks,
-            energy_c0=cfg.energy_c0, alpha=cfg.hamming_alpha,
-            pre_alpha=cfg.pre_emphasis, interpret=interpret,
-        )
-        feats = jax.vmap(self._post)(ceps, t_true, mask)
-        return feats, mask
+        return jax.vmap(self._mfcc_impl)(signals, n_samples)
 
     def _delta(self, feat: jax.Array, t_true: jax.Array) -> jax.Array:
         """±n-frame regression deltas with edge replication

@@ -48,12 +48,6 @@ class TestPitchFeature:
         feats, _ = fe.mfcc(sig)
         assert feats.shape[-1] == cfg.feat_dim
 
-    def test_pallas_incompatible(self):
-        cfg = FrontendConfig(pitch=True, use_pallas=True)
-        fe = Frontend(cfg)
-        with pytest.raises(ValueError):
-            fe.pallas_enabled()
-
     def test_tone_contours_recovered(self, rng):
         """Formant-synthesized tone minimal pairs (same segments,
         different tone): the pitch column must recover the lexical-tone
