@@ -264,6 +264,10 @@ def main():
                     help="per-utterance cepstral mean normalization "
                          "(frontend.cmvn) — the standard channel/noise "
                          "remedy, flag-gated")
+    ap.add_argument("--cmvn-var", action="store_true",
+                    help="additionally scale to unit per-coefficient "
+                         "variance (frontend.cmvn_var; implies --cmvn) "
+                         "— the flag round 4 shipped unmeasured")
     ap.add_argument("--rescore-order", type=int, default=0,
                     help="if >2, additionally rescore the device n-best "
                          "with an N-gram of this order trained on the "
@@ -415,7 +419,8 @@ def main():
     cfg.model.mix_level = 2
     cfg.model.max_mix_level = 6
     cfg.frontend.pitch = bool(args.pitch)
-    cfg.frontend.cmvn = bool(args.cmvn)
+    cfg.frontend.cmvn = bool(args.cmvn or args.cmvn_var)
+    cfg.frontend.cmvn_var = bool(args.cmvn_var)
     cfg.model.var_floor_scale = float(args.var_floor_scale)
     cfg.train.label_format = "pinyin"
     cfg.train.load_line = 1
@@ -954,7 +959,8 @@ def main():
                       "test_babble_seed": args.seed + 6,
                       "disjoint_talker_vocab": True,
                   }),
-        "cmvn": bool(args.cmvn),
+        "cmvn": bool(args.cmvn or args.cmvn_var),
+        "cmvn_var": bool(args.cmvn_var),
         "var_floor_scale": float(args.var_floor_scale),
         "lm_structure": int(args.lm_structure),
         "homophones_requested": int(args.homophones),

@@ -46,11 +46,14 @@ class FrontendConfig:
     # kernel was retired in r05 as a measured negative result — the
     # XLA matmul path beat it at every production shape; see ROADMAP.)
     matmul_dft: bool = True
-    # matmul precision for the frontend dots when matmul_dft:
-    # 'highest' = 6-pass f32-exact; 'high' = bf16_3x (~2x rate, oracle
-    # accuracy checked by benchmarks/frontend_opt.py); 'default' = one
-    # bf16 pass (measured ~0.15 absolute error in log-cepstra — do not
-    # use for training/parity)
+    # matmul precision for the frontend dots when matmul_dft
+    # (benchmarks/frontend_opt.json, on-chip): 'highest' = 6-pass
+    # f32-exact (default — the only mode inside the 3e-4 feature-
+    # accuracy bar); 'high' = bf16_3x, 1.13-1.23x the pipeline but
+    # 0.025 abs max feature error (high-frequency DFT bins cancel, and
+    # log amplifies their relative error) — acceptable only for
+    # throughput-first serving; 'default' = one bf16 pass, 0.28-0.38
+    # abs (known-bad control, never for training/parity)
     dot_precision: str = "highest"
     pre_emphasis: float = 0.98      # (AudioProcessing.py:184)
     hamming_alpha: float = 0.46     # (AudioProcessing.py:228)

@@ -495,6 +495,75 @@ def build_cd_bank(ci_bank: SenoneBank, cd: CDInventory,
 
 
 # ----------------------------------------------------------------------
+# Persistence (a CD system = bank checkpoint + this sidecar)
+# ----------------------------------------------------------------------
+
+def save_cd(path: str, cd: CDInventory, trees: ContextTrees) -> None:
+    """Persist the CD inventory + trees next to a bank checkpoint (the
+    bank itself saves through ``train/checkpoint.py`` unchanged — its
+    unit axis is simply the CD-unit axis).  Questions are stored by
+    name and rebuilt against the base inventory on load, so the file
+    carries no code."""
+    import json
+
+    def enc(node):
+        if isinstance(node, tuple):
+            qi, y, n = node
+            return [qi, enc(y), enc(n)]
+        return int(node)
+
+    with open(path, "w") as f:
+        json.dump({
+            "base_units": list(cd.base.units),
+            "context_free": sorted(int(u) for u in cd.context_free),
+            "triples": np.asarray(cd.triples).tolist(),
+            "senone_of": np.asarray(trees.senone_of).tolist(),
+            "n_senones": int(trees.n_senones),
+            "question_names": [q.name for q in trees.questions],
+            "nodes": {f"{b},{e}": enc(v)
+                      for (b, e), v in trees.nodes.items()},
+            "splits_log": trees.splits_log,
+        }, f)
+
+
+def load_cd(path: str) -> tuple[CDInventory, ContextTrees]:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    base = UnitInventory(d["base_units"])
+    cd = CDInventory(
+        base=base,
+        triples=np.asarray(d["triples"], np.int32),
+        context_free=frozenset(d["context_free"]),
+    )
+    questions = context_questions(base)
+    by_name = {q.name: i for i, q in enumerate(questions)}
+    names = d["question_names"]
+    # remap stored question indices in case the generated order moved
+    remap = [by_name[n] for n in names]
+
+    def dec(node):
+        if isinstance(node, list):
+            qi, y, n = node
+            return (remap[qi], dec(y), dec(n))
+        return int(node)
+
+    nodes = {}
+    for key, v in d["nodes"].items():
+        b, e = key.split(",")
+        nodes[(int(b), int(e))] = dec(v)
+    trees = ContextTrees(
+        senone_of=np.asarray(d["senone_of"], np.int32),
+        n_senones=int(d["n_senones"]),
+        nodes=nodes,
+        questions=questions,
+        splits_log=d.get("splits_log", []),
+    )
+    return cd, trees
+
+
+# ----------------------------------------------------------------------
 # CD lexicon
 # ----------------------------------------------------------------------
 

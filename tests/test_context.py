@@ -193,6 +193,21 @@ class TestTrees:
             for e in range(emit):
                 assert len(set(trees.senone_of[rows, e].tolist())) == 1
 
+    def test_save_load_roundtrip(self, base_inv, rng, tmp_path):
+        """CD sidecar persistence: routing (registered AND unseen
+        triples) must survive a save/load cycle."""
+        cd, trees = self._grown(base_inv, rng)
+        p = str(tmp_path / "cd.json")
+        ctx.save_cd(p, cd, trees)
+        cd2, trees2 = ctx.load_cd(p)
+        assert np.array_equal(cd2.triples, cd.triples)
+        assert trees2.n_senones == trees.n_senones
+        assert np.array_equal(trees2.senone_of, trees.senone_of)
+        i = base_inv.id_of
+        unseen = (i["m"], i["a1"], i["m"])
+        for e in range(3):
+            assert trees2.route(unseen, e) == trees.route(unseen, e)
+
     def test_unseen_triple_routes(self, base_inv, rng):
         cd, trees = self._grown(base_inv, rng)
         i = base_inv.id_of
