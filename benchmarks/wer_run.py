@@ -682,10 +682,8 @@ def main():
         cursor = 0
         cd_batches = []
         n_cd_states = cfg.model.emit_states
-        occ = np.zeros((len(cd_inv), n_cd_states))
-        s_mean = np.zeros((len(cd_inv), n_cd_states,
-                           cfg.frontend.feat_dim))
-        s_ex2 = np.zeros_like(s_mean)
+        acc_cd = ctx_mod.TripleStatsAccumulator(
+            len(cd_inv), n_cd_states, cfg.frontend.feat_dim)
         for batch in batches:
             nb_ = len(batch.feats)
             word_seqs = [
@@ -705,22 +703,12 @@ def main():
             lp = np.asarray(lp)
             ok = align_mod.check_alignment(lp, batch.labels,
                                            batch.label_lens)
-            o, m, x2 = ctx_mod.collect_triple_stats(
-                batch.feats, cd_labels, lp, len(cd_inv), n_cd_states,
-                utt_ok=ok)
-            # fold batch moments occupancy-weighted
-            tot = occ + o
-            nz = tot > 0
-            s_mean[nz] = ((s_mean * occ[..., None]
-                           + m * o[..., None])[nz] / tot[nz][..., None])
-            s_ex2[nz] = ((s_ex2 * occ[..., None]
-                          + x2 * o[..., None])[nz] / tot[nz][..., None])
-            occ = tot
+            acc_cd.add(batch.feats, cd_labels, lp, utt_ok=ok)
             cd_batches.append(_dc.replace(batch, labels=cd_labels))
         target = args.cd_senones or 3 * bank.num_states
         trees = ctx_mod.grow_context_trees(
-            cd_inv, occ, s_mean, s_ex2, target_senones=target,
-            min_occ=16.0)
+            cd_inv, acc_cd.occ, acc_cd.mean, acc_cd.ex2,
+            target_senones=target, min_occ=16.0)
         cd_bank = ctx_mod.build_cd_bank(bank, cd_inv, trees)
         log(f"cd: tied to {trees.n_senones} senones "
             f"(target {target}, {len(trees.splits_log)} splits)")

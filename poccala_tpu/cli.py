@@ -7,6 +7,9 @@ Replaces the reference's ``Controller.py`` ``__main__`` flow (train) and
                    round-granular checkpoint/resume)
 * ``align``      — Viterbi forced alignment over a corpus
 * ``decode``     — WAV(s) → word hypotheses via the beam decoder
+                   (``--cd`` decodes with a context-dependent graph)
+* ``cd-expand``  — CI checkpoint → context-dependent tied-state system
+                   (triples, tree tying, clone, retrain, sidecar)
 * ``export-ref`` / ``import-ref`` — reference parameter-layout interop
 * ``synth-corpus`` — generate a synthetic WAV corpus
 * ``build-lexicon`` — word list → pronunciation-lexicon pickle
@@ -152,6 +155,22 @@ def cmd_decode(args):
     lex = PronunciationLexicon()
     lex.load(args.lexicon)
     flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    if getattr(args, "cd", None):
+        # context-dependent decode: the same CI lexicon pickle compiles
+        # into the CD graph (arcs keyed on (left, unit, right)); words
+        # outside the training expansion back off through the trees
+        from poccala_tpu.models import context as ctx_mod
+
+        cd, trees = ctx_mod.load_cd(args.cd)
+        if cd.base.units != inv.units:
+            raise SystemExit(
+                "--cd sidecar base inventory does not match --units")
+        entries = ctx_mod.cd_entries_from_flat(flat)
+        cd, trees, bank = ctx_mod.extend_for_lexicon(cd, trees, bank,
+                                                     entries)
+        flat = ctx_mod.build_cd_lexicon(entries, cd)
+        print(f"cd decode graph: {flat.n_nodes} nodes / {len(cd)} "
+              f"triples", file=sys.stderr)
     lm = None
     if args.lm:
         from poccala_tpu.lm import Ngram
@@ -214,6 +233,138 @@ def cmd_decode(args):
             "nbest": [{"words": list(h.words), "score": h.score}
                       for h in hyps],
         }, ensure_ascii=False))
+
+
+def cmd_cd_expand(args):
+    """Expand a trained CI checkpoint to context-dependent tied-state
+    units (BASELINE config 3's "triphone-style" clause; the reference
+    has no CD machinery): enumerate within-word triples over the
+    vocabulary, collect alignment-driven context statistics, grow the
+    phonetic-context decision trees, clone the CD bank from the CI
+    senones, retrain, and write the CD checkpoint + routing sidecar.
+    Decode with ``decode --cd <sidecar>``."""
+    import dataclasses
+    import itertools
+
+    import jax.numpy as jnp
+
+    from poccala_tpu.io.corpus import Corpus, UnitInventory, read_label
+    from poccala_tpu.lexicon.pinyin import PinYin
+    from poccala_tpu.models import context as ctx
+    from poccala_tpu.train import alignment as align
+    from poccala_tpu.train import checkpoint as ckpt
+    from poccala_tpu.train.trainer import Trainer
+
+    cfg = _load_config(args)
+    inv = _load_inventory(cfg, args)
+    bank, manifest = ckpt.load_checkpoint(args.checkpoint)
+
+    with open(args.vocab) as f:
+        words = [w.strip() for w in f if w.strip()]
+    py = PinYin(args.table) if args.table else PinYin()
+
+    combos_of: dict[str, list[list[int]]] = {}
+    seqs = []
+    for w in words:
+        per_syl = py.units_of(w)
+        if per_syl is None:
+            continue
+        per = []
+        for readings in per_syl:
+            opts, seen = [], set()
+            for us in readings:
+                if len(us) == 2 and all(u in inv.id_of for u in us):
+                    o = (inv.id_of[us[0]], inv.id_of[us[1]])
+                    if o not in seen:
+                        seen.add(o)
+                        opts.append(o)
+            if not opts:
+                per = []
+                break
+            per.append(opts)
+        if not per:
+            continue
+        flat_combos = [
+            [u for s in c for u in s]
+            for c in itertools.islice(itertools.product(*per), 8)
+        ]
+        combos_of[w] = flat_combos
+        seqs.extend(flat_combos)
+    cf = [inv.id_of[u] for u in ("sil",) if u in inv.id_of]
+    cd = ctx.CDInventory.from_words(seqs, inv, context_free=cf)
+    print(f"cd: {len(cd)} triples over {len(inv)} base units, "
+          f"{len(combos_of)} vocabulary words", file=sys.stderr)
+
+    corpus = Corpus(cfg, inv)
+    emit = cfg.model.emit_states
+    acc = ctx.TripleStatsAccumulator(len(cd), emit, cfg.frontend.feat_dim)
+    cd_batches = []
+    bs = cfg.train.batch_size
+    buf, lines = [], []
+
+    def flush():
+        if not buf:
+            return
+        batch = Corpus._pack(buf, bs, cfg.train.max_frames,
+                             cfg.train.max_label_len,
+                             cfg.frontend.feat_dim)
+        cd_labels, ok = ctx.expand_labels_by_matching(
+            batch.labels, batch.label_lens, list(lines), combos_of, cd)
+        _, lp = align.align_batch(
+            bank, jnp.asarray(batch.labels),
+            jnp.asarray(batch.label_lens), jnp.asarray(batch.feats),
+            jnp.asarray(batch.t_masks), cfg.model.state_num,
+            cfg.train.max_label_len,
+            normalizer=cfg.model.gaussian_normalizer)
+        lp = np.asarray(lp)
+        ok &= align.check_alignment(lp, batch.labels, batch.label_lens)
+        acc.add(batch.feats, cd_labels, lp, utt_ok=ok)
+        if ok.any():
+            keep = np.nonzero(ok)[0]
+            cd_batches.append(dataclasses.replace(
+                batch,
+                feats=batch.feats[keep], t_masks=batch.t_masks[keep],
+                labels=cd_labels[keep],
+                label_lens=batch.label_lens[keep]))
+        if not ok.all():
+            print(f"cd-expand: {int((~ok).sum())} utterances "
+                  f"unmatched/unaligned (discarded)", file=sys.stderr)
+        buf.clear()
+        lines.clear()
+
+    for wav_path, label_path in corpus.pairs:
+        try:
+            buf.append(corpus.load_utterance(wav_path, label_path))
+            lines.append(read_label(label_path, args.word_line))
+        except (KeyError, FileNotFoundError, IndexError):
+            continue
+        if len(buf) == bs:
+            flush()
+    flush()
+
+    target = args.target_senones or 3 * bank.num_states
+    trees = ctx.grow_context_trees(
+        cd, acc.occ, acc.mean, acc.ex2, target_senones=target,
+        min_occ=args.min_occ)
+    cd_bank = ctx.build_cd_bank(bank, cd, trees)
+    print(f"cd: tied to {trees.n_senones} senones (target {target}, "
+          f"{len(trees.splits_log)} splits)", file=sys.stderr)
+
+    tr = Trainer(cfg, UnitInventory(ctx.cd_unit_names(cd)))
+    tr.bank = cd_bank
+    tr.mix_level = manifest.get("mix_level", tr.mix_level)
+    tr.scheme1_round(cd_batches, init=False, smem=False)
+    if args.retrain_epochs > 1:
+        tr.auto(cd_batches, t=args.retrain_epochs - 1, mode=2,
+                init=False)
+    ckpt.save_checkpoint(
+        args.out_checkpoint, tr.export_bank(),
+        {"mix_level": tr.mix_level, "cd": True,
+         "cd_sidecar": os.path.abspath(args.out_cd)},
+        units=ctx.cd_unit_names(cd))
+    ctx.save_cd(args.out_cd, cd, trees)
+    print(f"cd system -> {args.out_checkpoint} + {args.out_cd}",
+          file=sys.stderr)
 
 
 def cmd_listen(args):
@@ -466,6 +617,8 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("decode")
     d.add_argument("--checkpoint", required=True)
     d.add_argument("--lexicon", required=True)
+    d.add_argument("--cd", help="CD sidecar from cd-expand: decode "
+                                "with the context-dependent graph")
     d.add_argument("--lm")
     d.add_argument("--lm-order", type=int, default=2)
     d.add_argument("--rescore-lm",
@@ -480,6 +633,25 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("wavs", nargs="+")
     add_dist_flags(d)
     d.set_defaults(fn=cmd_decode)
+
+    cdx = sub.add_parser("cd-expand")
+    cdx.add_argument("--checkpoint", required=True,
+                     help="trained CI checkpoint to expand")
+    cdx.add_argument("--vocab", required=True,
+                     help="word list (one word per line)")
+    cdx.add_argument("--table", help="Mandarin.dat-format G2P table "
+                                     "(default: built-in subset)")
+    cdx.add_argument("--out-checkpoint", required=True)
+    cdx.add_argument("--out-cd", required=True,
+                     help="CD sidecar (triples + routing trees)")
+    cdx.add_argument("--target-senones", type=int, default=0,
+                     help="tied-senone budget (0 = 3x the CI count)")
+    cdx.add_argument("--retrain-epochs", type=int, default=3)
+    cdx.add_argument("--word-line", type=int, default=0,
+                     help=".trn line carrying the word sequence "
+                          "(word boundaries reset context)")
+    cdx.add_argument("--min-occ", type=float, default=16.0)
+    cdx.set_defaults(fn=cmd_cd_expand)
 
     li = sub.add_parser("listen")
     li.add_argument("--checkpoint", required=True)

@@ -115,7 +115,10 @@ class CDInventory:
         for u in sorted(cf):
             seen[(BOUNDARY, u, BOUNDARY)] = None
         for units in word_unit_seqs:
-            for t in word_triples(list(units)):
+            units = list(units)
+            if units and all(u in cf for u in units):
+                continue  # all-context-free word (the <sil> filler)
+            for t in word_triples(units):
                 if t[1] in cf:
                     raise ValueError(
                         f"context-free unit {t[1]} inside a word")
@@ -124,8 +127,15 @@ class CDInventory:
         return cls(base=base, triples=arr, context_free=cf)
 
     def encode_word(self, units: list[int]) -> list[int]:
-        """CI unit-id sequence of one word -> CD ids."""
-        return [self.id_of[t] for t in word_triples(list(units))]
+        """CI unit-id sequence of one word -> CD ids.  A word made
+        entirely of context-free units (the ``<sil>`` filler) maps each
+        unit to its ``(-1, u, -1)`` id; mixing is an error."""
+        units = list(units)
+        if all(u in self.context_free for u in units):
+            return [self.id_of[(BOUNDARY, u, BOUNDARY)] for u in units]
+        if any(u in self.context_free for u in units):
+            raise ValueError("context-free unit inside a word")
+        return [self.id_of[t] for t in word_triples(units)]
 
 
 def expand_labels(
@@ -246,6 +256,28 @@ def collect_triple_stats(
     mean = s1.reshape(n_cd, emit_states, d) / denom
     ex2 = s2.reshape(n_cd, emit_states, d) / denom
     return occ, mean, ex2
+
+
+class TripleStatsAccumulator:
+    """Occupancy-weighted fold of :func:`collect_triple_stats` over
+    batches (the tree-growing statistics, gathered corpus-wide)."""
+
+    def __init__(self, n_cd: int, emit: int, dim: int):
+        self.occ = np.zeros((n_cd, emit))
+        self.mean = np.zeros((n_cd, emit, dim))
+        self.ex2 = np.zeros((n_cd, emit, dim))
+
+    def add(self, xs, cd_labels, label_pos, utt_ok=None) -> None:
+        o, m, x2 = collect_triple_stats(
+            xs, cd_labels, label_pos, self.occ.shape[0],
+            self.occ.shape[1], utt_ok=utt_ok)
+        tot = self.occ + o
+        nz = tot > 0
+        self.mean[nz] = ((self.mean * self.occ[..., None]
+                          + m * o[..., None])[nz] / tot[nz][..., None])
+        self.ex2[nz] = ((self.ex2 * self.occ[..., None]
+                         + x2 * o[..., None])[nz] / tot[nz][..., None])
+        self.occ = tot
 
 
 # ----------------------------------------------------------------------
@@ -492,6 +524,155 @@ def build_cd_bank(ci_bank: SenoneBank, cd: CDInventory,
         mix_counts=jnp.asarray(mix_counts),
         senone_map=jnp.asarray(trees.senone_of.astype(np.int32)),
     )
+
+
+def cd_unit_names(cd: CDInventory) -> list[str]:
+    """HTK-style display names for the CD unit axis: ``l-u+r`` with
+    ``#`` for the word boundary (checkpoint unit lists, logs)."""
+    base = cd.base.units
+    out = []
+    for l, u, r in cd.triples:
+        ln = "#" if l == BOUNDARY else base[l]
+        rn = "#" if r == BOUNDARY else base[r]
+        out.append(f"{ln}-{base[u]}+{rn}")
+    return out
+
+
+def expand_labels_by_matching(
+    labels: np.ndarray,
+    label_lens: np.ndarray,
+    word_lines: list[list[str]],
+    combos_of: dict,
+    cd: CDInventory,
+):
+    """CI label batch -> CD labels when per-word unit sequences are
+    ambiguous (polyphonic readings): for each utterance walk the label,
+    passing context-free units through, and match each transcript word
+    against its reading combinations (first match wins — combinations
+    share length, so matching is unambiguous per position).
+
+    :param word_lines: per utterance, the word strings in order (the
+        ``.trn`` word line)
+    :param combos_of: word -> list of flattened CI unit-id sequences
+    :returns: (cd_labels ``[B, L]``, ok ``[B]`` bool — utterances whose
+        label could not be matched are flagged for exclusion)
+    """
+    labels = np.asarray(labels)
+    out = labels.copy().astype(np.int32)
+    ok = np.ones(len(labels), bool)
+    cf_id = {u: cd.id_of[(BOUNDARY, u, BOUNDARY)] for u in cd.context_free}
+    for b in range(len(labels)):
+        i, n = 0, int(label_lens[b])
+        words = list(word_lines[b])
+        w = 0
+        good = True
+        while i < n and good:
+            u = int(labels[b, i])
+            if u in cf_id:
+                out[b, i] = cf_id[u]
+                i += 1
+                continue
+            if w >= len(words):
+                good = False
+                break
+            matched = False
+            for units in combos_of.get(words[w], ()):
+                avail = min(len(units), n - i)
+                if labels[b, i: i + avail].tolist() == \
+                        list(units[:avail]):
+                    cd_ids = cd.encode_word(list(units))
+                    for k in range(avail):
+                        out[b, i + k] = cd_ids[k]
+                    i += avail
+                    matched = True
+                    break
+            if not matched:
+                good = False
+                break
+            w += 1
+        ok[b] = good
+    return out, ok
+
+
+def cd_entries_from_flat(flat, max_entries_per_word: int = 64):
+    """Recover ``(word, [per-syllable [ini, fin] CI unit ids])`` entries
+    from a CI :class:`FlatLexicon` — every root-to-word-node path is
+    one pronunciation.  This is how ``decode --cd`` reuses an existing
+    CI lexicon pickle: the CD graph compiles from the same word set."""
+    n = flat.n_nodes
+    parent = np.full(n, -1, np.int64)
+    for p in range(n):
+        for c in flat.children(p):
+            parent[c] = p
+    entries = []
+    count: dict[str, int] = {}
+    for nid in range(1, n):
+        for word in flat.node_words[nid]:
+            if count.get(word, 0) >= max_entries_per_word:
+                continue
+            path = []
+            at = nid
+            while at > 0:
+                path.append(at)
+                at = int(parent[at])
+            path.reverse()
+            syls = [[int(flat.node_units[a][0]),
+                     int(flat.node_units[a][1])] for a in path]
+            entries.append((word, syls))
+            count[word] = count.get(word, 0) + 1
+    return entries
+
+
+def extend_for_lexicon(cd: CDInventory, trees: ContextTrees,
+                       bank: SenoneBank, entries):
+    """Register any lexicon triples the training expansion never saw
+    and grow the bank's per-unit tables to match (decode-time back-off
+    for out-of-expansion words): the new unit's senones come from tree
+    routing (shared, trained leaves), its transitions/pi from an
+    existing CD unit of the same base (or uniform-topology fallback).
+
+    GMM tensors are untouched — only ``log_A``/``log_pi``/``senone_map``
+    rows append.  Returns (cd', trees', bank'); inputs are not
+    mutated."""
+    import jax.numpy as jnp
+
+    emit = bank.emit_states
+    seen = set(map(tuple, cd.triples.tolist()))
+    missing: list[tuple] = []
+    for _, syls in entries:
+        units = [u for s in syls for u in s]
+        if all(u in cd.context_free for u in units):
+            continue
+        for t in word_triples(units):
+            if t not in seen:
+                seen.add(t)
+                missing.append(t)
+    if not missing:
+        return cd, trees, bank
+    miss = np.asarray(missing, np.int32)
+    new_triples = np.concatenate([cd.triples, miss], axis=0)
+    cd2 = CDInventory(base=cd.base, triples=new_triples,
+                      context_free=cd.context_free)
+    add_map = np.asarray(
+        [[trees.route(t, e) for e in range(emit)] for t in missing],
+        np.int32)
+    trees2 = dataclasses.replace(
+        trees,
+        senone_of=np.concatenate([trees.senone_of, add_map], axis=0))
+    # transition/pi rows: borrow the first existing CD unit of the same
+    # base (its retrained topology is the closest available)
+    base_of = np.asarray(cd.triples[:, 1])
+    first_of_base = {}
+    for i, b in enumerate(base_of):
+        first_of_base.setdefault(int(b), i)
+    src = np.asarray([first_of_base.get(int(t[1]), 0) for t in missing])
+    log_a = jnp.concatenate([bank.log_A, bank.log_A[src]], axis=0)
+    log_pi = jnp.concatenate([bank.log_pi, bank.log_pi[src]], axis=0)
+    sen_map = jnp.concatenate(
+        [bank.senone_map, jnp.asarray(add_map)], axis=0)
+    bank2 = dataclasses.replace(bank, log_A=log_a, log_pi=log_pi,
+                                senone_map=sen_map)
+    return cd2, trees2, bank2
 
 
 # ----------------------------------------------------------------------

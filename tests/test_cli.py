@@ -158,3 +158,101 @@ class TestCliPipeline:
         bank2, _ = ck.load_checkpoint(ckpt2)
         assert np.allclose(np.asarray(bank1.log_A), np.asarray(bank2.log_A),
                            atol=1e-5)
+
+
+class TestCliCdExpand:
+    def test_cd_expand_and_decode(self, tmp_path, capsys):
+        """CI train -> cd-expand -> decode --cd: the CD workflow as a
+        user drives it (checkpoint + sidecar + same lexicon pickle)."""
+        from poccala_tpu.io import wav as wav_io
+        from poccala_tpu.io.corpus import synth_unit_signal
+
+        wd = str(tmp_path)
+        units = ["n", "i3", "h", "ao3", "m", "a1", "sil"]
+        units_file = os.path.join(wd, "units")
+        with open(units_file, "w") as f:
+            f.write("test units\n" + ",".join(units) + "\n")
+        table = os.path.join(wd, "table.dat")
+        with open(table, "w") as f:
+            f.write("4F60\tni3\n597D\thao3\n9A6C\tma1\n")
+
+        # corpus: word line 0, toned-pinyin line 1, sil edges
+        words_of = {"你好": ["ni3", "hao3"], "你": ["ni3"],
+                    "马": ["ma1"]}
+        unit_ids = {u: i for i, u in enumerate(units)}
+        syl_units = {"ni3": ["n", "i3"], "hao3": ["h", "ao3"],
+                     "ma1": ["m", "a1"]}
+        audio = os.path.join(wd, "record")
+        label = os.path.join(wd, "label")
+        os.makedirs(audio)
+        os.makedirs(label)
+        rng = np.random.default_rng(7)
+        keys = list(words_of)
+        for i in range(14):
+            ws = [keys[int(rng.integers(len(keys)))]
+                  for _ in range(int(rng.integers(1, 3)))]
+            syls = [s for w in ws for s in words_of[w]]
+            us = ["sil"] + [u for s in syls for u in syl_units[s]] + \
+                ["sil"]
+            sig = np.concatenate([
+                synth_unit_signal(unit_ids[u], 3200, 16000, rng)
+                for u in us
+            ])
+            name = f"utt{i:05d}"
+            wav_io.write_wav(os.path.join(audio, name + ".wav"),
+                             sig, 16000)
+            with open(os.path.join(label, name + ".wav.trn"), "w") as f:
+                f.write(" ".join(ws) + "\n"
+                        + " ".join(["sil"] + syls + ["sil"]) + "\n")
+
+        common = [
+            "--units", units_file,
+            "--set", f"paths.audio_file_path={audio}",
+            "--set", f"paths.label_file_path={label}",
+            "--set", "train.label_format=pinyin",
+            "--set", "train.load_line=1",
+            "--set", "frontend.vad=false",
+            "--set", "model.mix_level=1",
+            "--set", "model.max_mix_level=2",
+            "--set", "model.var_floor_scale=0.01",
+            "--set", "train.max_frames=256",
+            "--set", "train.batch_size=7",
+            "--set", "train.proportion=1.0",
+            "--set", "train.step=4",
+        ]
+        ckpt_dir = os.path.join(wd, "ckpt")
+        run(capsys, *common, "train", "--mode", "2", "--epochs", "2",
+            "--checkpoint", ckpt_dir)
+
+        vocab_file = os.path.join(wd, "vocab.txt")
+        with open(vocab_file, "w") as f:
+            f.write("你好\n你\n马\n")
+        cd_ckpt = os.path.join(wd, "ckpt_cd")
+        cd_json = os.path.join(wd, "cd.json")
+        run(capsys, *common, "cd-expand", "--checkpoint", ckpt_dir,
+            "--vocab", vocab_file, "--table", table,
+            "--out-checkpoint", cd_ckpt, "--out-cd", cd_json,
+            "--target-senones", "60", "--retrain-epochs", "2",
+            "--min-occ", "4")
+        assert os.path.exists(os.path.join(cd_ckpt, "bank.npz"))
+        assert os.path.exists(cd_json)
+
+        lex_path = os.path.join(wd, "lex.pkl")
+        run(capsys, *common, "build-lexicon", "--words", vocab_file,
+            "--mandarin-dat", table, "--out", lex_path)
+
+        wav = os.path.join(audio, "utt00000.wav")
+        out = run(capsys, *common, "decode", "--decoder", "device",
+                  "--checkpoint", cd_ckpt, "--lexicon", lex_path,
+                  "--cd", cd_json, wav)
+        result = json.loads(out)
+        assert result["wav"] == wav
+        assert isinstance(result["nbest"], list) and result["nbest"]
+        # CD system has more (or equal) senones than the CI parent
+        from poccala_tpu.train import checkpoint as ck
+
+        ci_bank, _ = ck.load_checkpoint(ckpt_dir)
+        cd_bank, meta = ck.load_checkpoint(cd_ckpt)
+        assert meta.get("cd") is True
+        assert cd_bank.num_states >= ci_bank.num_states
+        assert cd_bank.num_units > len(units)
