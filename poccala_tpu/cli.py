@@ -72,6 +72,32 @@ def _maybe_mesh(cfg, args):
     return mesh
 
 
+def _load_decode_graph(args, inv, bank):
+    """Lexicon pickle -> FlatLexicon; with ``--cd`` the same pickle
+    compiles into the context-dependent graph (arcs keyed on
+    (left, unit, right)) with out-of-expansion triples registered via
+    tree back-off.  Returns (flat, bank)."""
+    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
+
+    lex = PronunciationLexicon()
+    lex.load(args.lexicon)
+    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    if getattr(args, "cd", None):
+        from poccala_tpu.models import context as ctx_mod
+
+        cd, trees = ctx_mod.load_cd(args.cd)
+        if cd.base.units != inv.units:
+            raise SystemExit(
+                "--cd sidecar base inventory does not match --units")
+        entries = ctx_mod.cd_entries_from_flat(flat)
+        cd, trees, bank = ctx_mod.extend_for_lexicon(cd, trees, bank,
+                                                     entries)
+        flat = ctx_mod.build_cd_lexicon(entries, cd)
+        print(f"cd decode graph: {flat.n_nodes} nodes / {len(cd)} "
+              f"triples", file=sys.stderr)
+    return flat, bank
+
+
 def cmd_train(args):
     import jax
     from poccala_tpu.io.corpus import Corpus
@@ -152,25 +178,7 @@ def cmd_decode(args):
     cfg = _load_config(args)
     inv = _load_inventory(cfg, args)
     bank, _ = ckpt.load_checkpoint(args.checkpoint)
-    lex = PronunciationLexicon()
-    lex.load(args.lexicon)
-    flat = FlatLexicon.from_tree(lex.lexicon, inv)
-    if getattr(args, "cd", None):
-        # context-dependent decode: the same CI lexicon pickle compiles
-        # into the CD graph (arcs keyed on (left, unit, right)); words
-        # outside the training expansion back off through the trees
-        from poccala_tpu.models import context as ctx_mod
-
-        cd, trees = ctx_mod.load_cd(args.cd)
-        if cd.base.units != inv.units:
-            raise SystemExit(
-                "--cd sidecar base inventory does not match --units")
-        entries = ctx_mod.cd_entries_from_flat(flat)
-        cd, trees, bank = ctx_mod.extend_for_lexicon(cd, trees, bank,
-                                                     entries)
-        flat = ctx_mod.build_cd_lexicon(entries, cd)
-        print(f"cd decode graph: {flat.n_nodes} nodes / {len(cd)} "
-              f"triples", file=sys.stderr)
+    flat, bank = _load_decode_graph(args, inv, bank)
     lm = None
     if args.lm:
         from poccala_tpu.lm import Ngram
@@ -386,9 +394,7 @@ def cmd_listen(args):
     cfg = _load_config(args)
     inv = _load_inventory(cfg, args)
     bank, _ = ckpt.load_checkpoint(args.checkpoint)
-    lex = PronunciationLexicon()
-    lex.load(args.lexicon)
-    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    flat, bank = _load_decode_graph(args, inv, bank)
     lm = None
     if args.lm:
         from poccala_tpu.lm import Ngram
@@ -458,9 +464,7 @@ def cmd_serve(args):
     cfg = _load_config(args)
     inv = _load_inventory(cfg, args)
     bank, _ = ckpt.load_checkpoint(args.checkpoint)
-    lex = PronunciationLexicon()
-    lex.load(args.lexicon)
-    flat = FlatLexicon.from_tree(lex.lexicon, inv)
+    flat, bank = _load_decode_graph(args, inv, bank)
     lm = None
     if args.lm:
         from poccala_tpu.lm import Ngram
@@ -656,6 +660,8 @@ def build_parser() -> argparse.ArgumentParser:
     li = sub.add_parser("listen")
     li.add_argument("--checkpoint", required=True)
     li.add_argument("--lexicon", required=True)
+    li.add_argument("--cd", help="CD sidecar: stream-decode with the "
+                                 "context-dependent graph")
     li.add_argument("--lm")
     li.add_argument("--lm-order", type=int, default=2)
     li.add_argument("--beam", type=float, default=0.85)
@@ -671,6 +677,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv = sub.add_parser("serve")
     sv.add_argument("--checkpoint", required=True)
     sv.add_argument("--lexicon", required=True)
+    sv.add_argument("--cd", help="CD sidecar: serve with the "
+                                 "context-dependent graph")
     sv.add_argument("--lm")
     sv.add_argument("--lm-order", type=int, default=2)
     sv.add_argument("--beam", type=float, default=0.85)
