@@ -191,6 +191,7 @@ def cmd_decode(args):
         # decoder.block_size=N); 0 keeps the exact dense search
         kw.update(block_size=cfg.decoder.block_size,
                   active_blocks=cfg.decoder.active_blocks or None,
+                  prune_hysteresis=cfg.decoder.prune_hysteresis,
                   score_dtype=cfg.model.score_dtype)
     dec = BeamDecoder(bank, flat, beam=args.beam, lm=lm,
                       normalizer=cfg.model.gaussian_normalizer, **kw)
@@ -405,7 +406,8 @@ def cmd_listen(args):
                             normalizer=cfg.model.gaussian_normalizer,
                             score_dtype=cfg.model.score_dtype,
                             block_size=cfg.decoder.block_size,
-                            active_blocks=cfg.decoder.active_blocks or None)
+                            active_blocks=cfg.decoder.active_blocks or None,
+                            prune_hysteresis=cfg.decoder.prune_hysteresis)
     fe = Frontend(cfg.frontend)
 
     if args.wav:
@@ -475,7 +477,8 @@ def cmd_serve(args):
                             normalizer=cfg.model.gaussian_normalizer,
                             score_dtype=cfg.model.score_dtype,
                             block_size=cfg.decoder.block_size,
-                            active_blocks=cfg.decoder.active_blocks or None)
+                            active_blocks=cfg.decoder.active_blocks or None,
+                            prune_hysteresis=cfg.decoder.prune_hysteresis)
     mesh = _maybe_mesh(cfg, args)
     fe = Frontend(cfg.frontend)
 

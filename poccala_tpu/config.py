@@ -215,6 +215,11 @@ class DecoderConfig:
     # for 10⁴⁺-node lexicons (benchmarks/scaling.json pruned rows).
     block_size: int = 1024
     active_blocks: int = 0
+    # Sticky block selection (nats): an active block keeps its slot
+    # unless a challenger beats it by this margin — counters selection
+    # thrash with trained (non-separable) scores (WER_r05_cd.json
+    # fullvocab rows; benchmarks/pruned_trained.py).  0 = off.
+    prune_hysteresis: float = 0.0
 
 
 @dataclass

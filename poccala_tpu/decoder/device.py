@@ -80,6 +80,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
 
     def __init__(self, *args, emit_top: int = 4, max_words: int = 64,
                  block_size: int = 1024, active_blocks: int | None = None,
+                 prune_hysteresis: float = 0.0,
                  **kwargs):
         """``active_blocks``: enable block-pruned search — per frame
         only the ``active_blocks`` highest-scoring blocks of
@@ -90,13 +91,24 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         is the TPU form of the reference's beam pruning
         (``Decoder.py:34``, keep-fraction beam): per-frame cost becomes
         ~O(active_blocks·block_size) instead of O(n_nodes) for the
-        dominant [*, Ns]-array work — for 10⁴–10⁵-node lexicons."""
+        dominant [*, Ns]-array work — for 10⁴–10⁵-node lexicons.
+
+        ``prune_hysteresis``: log-score bonus (nats) added to the
+        currently-active blocks in the per-frame block selection.  With
+        trained (non-separable) models the one-step lookahead is muddy
+        — near-tied blocks thrash in and out of the active set and live
+        prefix paths die when their block is deselected mid-word
+        (measured: (256, 8) costs +58pp WER at the 37.5k-word table
+        with a trained bank, ``WER_r05_cd.json`` fullvocab rows).  A
+        few nats of stickiness means a challenger must beat an active
+        block by that margin to displace it.  0 = round-4 behavior."""
         super().__init__(*args, **kwargs)
         self.emit_top = max(1, int(emit_top))  # accepted; no longer used
         self.max_words = max(2, int(max_words))
         self.block_size = max(8, int(block_size))
         self.active_blocks = (None if active_blocks is None
                               else max(1, int(active_blocks)))
+        self.prune_hysteresis = float(prune_hysteresis)
 
     # ------------------------------------------------------------------
     def _prep_device(self):
@@ -481,6 +493,7 @@ class DeviceBeamDecoder(VectorBeamDecoder):
             blk = self.block_size
             n_blk = n_nodes // blk
             k_act = int(self.active_blocks)
+            hyst = float(self.prune_hysteresis)
             bands4 = bands.reshape(n_blk, blk, n_s, w_band)
 
             def step_pruned(carry, inp):
@@ -502,6 +515,12 @@ class DeviceBeamDecoder(VectorBeamDecoder):
                 int_pot = jnp.max(
                     jnp.max(d_act, axis=2) + la_act, axis=1)    # [K]
                 blk_best = blk_best.at[kb].max(int_pot)
+                if hyst > 0.0:
+                    # sticky selection: an active block keeps its slot
+                    # unless a challenger beats it by `hyst` nats
+                    # (a dead active block sits at NEG_INF; +hyst is
+                    # inconsequential there)
+                    blk_best = blk_best.at[kb].add(hyst)
                 _, kb_new = jax.lax.top_k(blk_best, k_act)
 
                 # 1. carry remap old->new active set: surviving blocks

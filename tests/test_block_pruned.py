@@ -200,6 +200,65 @@ class TestPrunedAgreement:
         # tracks the exact one on the large majority of utterances
         assert agree >= int(0.75 * len(chosen)), (agree, len(chosen))
 
+    def test_hysteresis_still_agrees_on_clean(self, world):
+        """Sticky selection (prune_hysteresis) changes only WHICH
+        blocks stay active; on separable inputs the 1-best must still
+        match the exact search, and pruned scores stay <= exact.  On
+        noisy inputs stickiness must not do worse than the exact score
+        bound either."""
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+
+        inv, flat, words, py, bank, emb = world
+        rng = np.random.default_rng(21)
+        chosen = _decodable(words, py, inv, 8, rng)
+        exact = DeviceBeamDecoder(bank, flat)
+        sticky = DeviceBeamDecoder(bank, flat, block_size=64,
+                                   active_blocks=2,
+                                   prune_hysteresis=4.0)
+        assert sticky.prune_hysteresis == 4.0
+        for w, uids in chosen[:6]:
+            x = _feats(emb, uids, rng)
+            h_ex = exact.decode(x)
+            h_st = sticky.decode(x)
+            assert h_ex and h_st, w
+            assert h_st[0].words == h_ex[0].words, (w, h_st[0].words)
+            assert h_st[0].score <= h_ex[0].score + 1e-3
+
+    def test_hysteresis_reduces_selection_churn(self, world):
+        """On hard (noisy) inputs the sticky selection must not lose to
+        the thrash-prone default in 1-best agreement with exact — the
+        property the knob exists for (WER_r05_cd.json fullvocab rows
+        showed the trained-score collapse)."""
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+
+        inv, flat, words, py, bank, emb = world
+        rng = np.random.default_rng(23)
+        chosen = _decodable(words, py, inv, 24, rng)
+        t_pad = 24
+        feats = np.zeros((len(chosen), t_pad, emb.shape[1]), np.float32)
+        nf = np.zeros(len(chosen), np.int32)
+        for i, (_, uids) in enumerate(chosen):
+            x = _feats(emb, uids, rng, noise=1.2)[:t_pad]
+            feats[i, : len(x)] = x
+            nf[i] = len(x)
+        exact = DeviceBeamDecoder(bank, flat)
+        plain = DeviceBeamDecoder(bank, flat, block_size=64,
+                                  active_blocks=2)
+        sticky = DeviceBeamDecoder(bank, flat, block_size=64,
+                                   active_blocks=2,
+                                   prune_hysteresis=6.0)
+        out_ex = exact.decode_batch(feats, nf)
+        out_pl = plain.decode_batch(feats, nf)
+        out_st = sticky.decode_batch(feats, nf)
+        def top(h):
+            return h[0].words if h else None
+
+        a_plain = sum(top(he) is not None and top(he) == top(hp)
+                      for he, hp in zip(out_ex, out_pl))
+        a_sticky = sum(top(he) is not None and top(he) == top(hs)
+                       for he, hs in zip(out_ex, out_st))
+        assert a_sticky >= a_plain - 2, (a_sticky, a_plain)
+
     def test_pruned_with_lm(self, world):
         """The word-boundary LM path (sparse bigram + re-entry ctx) is
         shared between exact and pruned steps; decode must agree on
