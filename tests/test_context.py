@@ -322,6 +322,64 @@ class TestCloneEquivalence:
         assert sorted(all_words) == ["ba", "bade", "de", "ma"]
 
 
+class TestLexiconExtension:
+    def test_extend_for_lexicon_registers_unseen_word(self, base_inv,
+                                                      rng):
+        """decode --cd on a lexicon with words outside the training
+        expansion: new triples get bank rows (transitions borrowed from
+        a same-base CD unit, senones from tree routing) and the graph
+        compiles and decodes."""
+        from poccala_tpu.decoder.device import DeviceBeamDecoder
+
+        inv = base_inv
+        i = inv.id_of
+        bank, emb = _ci_world(rng, inv)
+        cd = _cd_inv(inv)
+        n_cd, emit = len(cd), 3
+        occ = np.full((n_cd, emit), 30.0)
+        mean = rng.normal(size=(n_cd, emit, 8))
+        ex2 = mean**2 + 1.0
+        trees = ctx.grow_context_trees(cd, occ, mean, ex2,
+                                       target_senones=40, min_occ=1.0)
+        cd_bank = ctx.build_cd_bank(bank, cd, trees)
+        # "made" = m,a1 + d,e4 — the cross-syllable triples (a1 with
+        # right context d; m with left boundary ok) are NOT in the
+        # training expansion ("ma" and "de" exist but not compounded)
+        entries = _word_entries(inv) + [
+            ("made", [[i["m"], i["a1"]], [i["d"], i["e4"]]])]
+        n_before = len(cd)
+        cd2, trees2, bank2 = ctx.extend_for_lexicon(cd, trees, cd_bank,
+                                                    entries)
+        assert len(cd2) > n_before
+        assert bank2.num_units == len(cd2)
+        assert bank2.num_states == cd_bank.num_states  # GMMs untouched
+        flat = ctx.build_cd_lexicon(entries, cd2)
+        dec = DeviceBeamDecoder(bank2, flat)
+        x = np.concatenate([
+            emb[u * 3 + 1] + rng.normal(size=(7, 8)) * 0.4
+            for u in (i["m"], i["a1"], i["d"], i["e4"])
+        ]).astype(np.float32)
+        hyps = dec.decode(x, return_nbest=3)
+        assert hyps and any("made" in h.words for h in hyps)
+
+    def test_cd_entries_from_flat_roundtrip(self, base_inv):
+        from poccala_tpu.lexicon.lexicon import FlatLexicon
+
+        inv = base_inv
+        ci_tree = {
+            "b": {"b,a1": {"word": ["ba"],
+                           "d,e4": {"word": ["bade"]}}},
+            "d": {"d,e4": {"word": ["de"]}},
+        }
+        flat = FlatLexicon.from_tree(ci_tree, inv)
+        entries = ctx.cd_entries_from_flat(flat)
+        got = {w: syls for w, syls in entries}
+        i = inv.id_of
+        assert got["ba"] == [[i["b"], i["a1"]]]
+        assert got["bade"] == [[i["b"], i["a1"]], [i["d"], i["e4"]]]
+        assert got["de"] == [[i["d"], i["e4"]]]
+
+
 class TestEndToEnd:
     def test_train_expand_retrain_decode(self, base_inv, rng):
         """Mini pipeline: CI embedded-BW training, alignment-driven CD
