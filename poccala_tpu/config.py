@@ -216,9 +216,13 @@ class DecoderConfig:
     block_size: int = 1024
     active_blocks: int = 0
     # Sticky block selection (nats): an active block keeps its slot
-    # unless a challenger beats it by this margin — counters selection
-    # thrash with trained (non-separable) scores (WER_r05_cd.json
-    # fullvocab rows; benchmarks/pruned_trained.py).  0 = off.
+    # unless a challenger beats it by this margin.  MEASURED NEGATIVE
+    # on the trained-bank 37.5k-word sweep (benchmarks/
+    # pruned_trained.json: +1-2pp WER at every width at 8 nats) — the
+    # pruning collapse is genuine search-width starvation, not
+    # selection thrash; widening active_blocks is what recovers
+    # accuracy (8->16->32 blocks: +24.2 -> +11.1 -> +3.8pp vs exact).
+    # Kept default-off as a tested research knob.
     prune_hysteresis: float = 0.0
 
 

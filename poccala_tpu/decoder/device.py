@@ -94,14 +94,15 @@ class DeviceBeamDecoder(VectorBeamDecoder):
         dominant [*, Ns]-array work — for 10⁴–10⁵-node lexicons.
 
         ``prune_hysteresis``: log-score bonus (nats) added to the
-        currently-active blocks in the per-frame block selection.  With
-        trained (non-separable) models the one-step lookahead is muddy
-        — near-tied blocks thrash in and out of the active set and live
-        prefix paths die when their block is deselected mid-word
-        (measured: (256, 8) costs +58pp WER at the 37.5k-word table
-        with a trained bank, ``WER_r05_cd.json`` fullvocab rows).  A
-        few nats of stickiness means a challenger must beat an active
-        block by that margin to displace it.  0 = round-4 behavior."""
+        currently-active blocks in the per-frame block selection (a
+        challenger must beat an active block by the margin to displace
+        it).  Tested against the trained-bank pruning collapse
+        (``WER_r05_cd.json`` fullvocab rows: (256, 8) costs +58pp at
+        the 37.5k-word table) and MEASURED NEGATIVE
+        (``benchmarks/pruned_trained.json``: +1-2pp WER over the
+        non-sticky selection at every width) — the collapse is genuine
+        width starvation; widening ``active_blocks`` is what recovers
+        accuracy.  Default 0 (off)."""
         super().__init__(*args, **kwargs)
         self.emit_top = max(1, int(emit_top))  # accepted; no longer used
         self.max_words = max(2, int(max_words))
