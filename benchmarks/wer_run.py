@@ -644,30 +644,10 @@ def main():
         # combination, so the CD graph must too for a fair pair;
         # alternate-reading triples get zero training occupancy and
         # back off through the trees
-        import itertools as _it
-
-        def reading_combos(w, cap=8):
-            per_syl = py.units_of(w)
-            if per_syl is None:
-                return []
-            per = []
-            for readings in per_syl:
-                opts, seen_o = [], set()
-                for us in readings:
-                    if len(us) == 2 and all(u in inv.id_of for u in us):
-                        o = (inv.id_of[us[0]], inv.id_of[us[1]])
-                        if o not in seen_o:
-                            seen_o.add(o)
-                            opts.append(o)
-                if not opts:
-                    return []
-                per.append(opts)
-            return [[list(s) for s in c]
-                    for c in _it.islice(_it.product(*per), cap)]
-
         cd_entries = []
         for w, _, _ in entries:
-            combos = reading_combos(w) or [word_units_of[w]]
+            combos = ctx_mod.reading_combos(py, w, inv.id_of) \
+                or [word_units_of[w]]
             for c in combos:
                 cd_entries.append((w, c))
             if word_units_of[w] not in combos:

@@ -90,6 +90,13 @@ def _load_decode_graph(args, inv, bank):
             raise SystemExit(
                 "--cd sidecar base inventory does not match --units")
         entries = ctx_mod.cd_entries_from_flat(flat)
+        entries, skipped = ctx_mod.filter_routable_entries(cd, trees,
+                                                           entries)
+        if skipped:
+            print(f"cd: {len(set(skipped))} lexicon words use base "
+                  f"units absent from the expansion vocabulary — "
+                  f"dropped (no tying tree to route them)",
+                  file=sys.stderr)
         cd, trees, bank = ctx_mod.extend_for_lexicon(cd, trees, bank,
                                                      entries)
         flat = ctx_mod.build_cd_lexicon(entries, cd)
@@ -170,7 +177,6 @@ def cmd_decode(args):
         from poccala_tpu.decoder.vector import VectorBeamDecoder as BeamDecoder
     from poccala_tpu.io import wav as wav_io
     from poccala_tpu.io.corpus import UnitInventory
-    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
     from poccala_tpu.ops import vad as vad_ops
     from poccala_tpu.ops.frontend import Frontend
     from poccala_tpu.train import checkpoint as ckpt
@@ -253,7 +259,6 @@ def cmd_cd_expand(args):
     senones, retrain, and write the CD checkpoint + routing sidecar.
     Decode with ``decode --cd <sidecar>``."""
     import dataclasses
-    import itertools
 
     import jax.numpy as jnp
 
@@ -275,28 +280,10 @@ def cmd_cd_expand(args):
     combos_of: dict[str, list[list[int]]] = {}
     seqs = []
     for w in words:
-        per_syl = py.units_of(w)
-        if per_syl is None:
+        combos = ctx.reading_combos(py, w, inv.id_of)
+        if not combos:
             continue
-        per = []
-        for readings in per_syl:
-            opts, seen = [], set()
-            for us in readings:
-                if len(us) == 2 and all(u in inv.id_of for u in us):
-                    o = (inv.id_of[us[0]], inv.id_of[us[1]])
-                    if o not in seen:
-                        seen.add(o)
-                        opts.append(o)
-            if not opts:
-                per = []
-                break
-            per.append(opts)
-        if not per:
-            continue
-        flat_combos = [
-            [u for s in c for u in s]
-            for c in itertools.islice(itertools.product(*per), 8)
-        ]
+        flat_combos = [[u for s in c for u in s] for c in combos]
         combos_of[w] = flat_combos
         seqs.extend(flat_combos)
     cf = [inv.id_of[u] for u in ("sil",) if u in inv.id_of]
@@ -343,10 +330,15 @@ def cmd_cd_expand(args):
 
     for wav_path, label_path in corpus.pairs:
         try:
-            buf.append(corpus.load_utterance(wav_path, label_path))
-            lines.append(read_label(label_path, args.word_line))
+            # read the word line FIRST: if it is missing the utterance
+            # must be skipped atomically (a partial append would shift
+            # every later utterance's transcript in the batch)
+            wl = read_label(label_path, args.word_line)
+            utt = corpus.load_utterance(wav_path, label_path)
         except (KeyError, FileNotFoundError, IndexError):
             continue
+        buf.append(utt)
+        lines.append(wl)
         if len(buf) == bs:
             flush()
     flush()
@@ -387,7 +379,6 @@ def cmd_listen(args):
 
     from poccala_tpu.decoder.device import DeviceBeamDecoder
     from poccala_tpu.io import wav as wav_io
-    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
     from poccala_tpu.ops import vad as vad_ops
     from poccala_tpu.ops.frontend import Frontend
     from poccala_tpu.train import checkpoint as ckpt
@@ -457,7 +448,6 @@ def cmd_serve(args):
     synchronous serve loop (``Decoder.py:190-218``)."""
     from poccala_tpu.decoder.device import DeviceBeamDecoder
     from poccala_tpu.io import wav as wav_io
-    from poccala_tpu.lexicon import FlatLexicon, PronunciationLexicon
     from poccala_tpu.ops import vad as vad_ops
     from poccala_tpu.ops.frontend import Frontend
     from poccala_tpu.serve import DecodeService

@@ -48,8 +48,10 @@ class Ngram:
         sparse ones defer to lower orders without JM's flat ``1-λ``
         penalty on every unseen continuation (measured: the structured-
         corpus trigram gain JM discards, tests/test_markov_corpus.py).
-        ``'wb'`` is for rescoring LMs; the vectorized decoder tables
-        (:meth:`bigram_tables`) require ``'jm'``."""
+        Both modes attach to the first-pass decoder via the per-row-
+        backoff tables (:meth:`bigram_tables_backoff`, r05); the legacy
+        :meth:`bigram_tables` form still requires ``'jm'`` (its backoff
+        column is context-independent)."""
         assert n >= 1
         assert smoothing in ("jm", "wb"), smoothing
         self.n = n

@@ -73,6 +73,36 @@ def word_triples(units: list[int]) -> list[tuple[int, int, int]]:
     ]
 
 
+def reading_combos(py, word: str, id_of: dict, cap: int = 8):
+    """All pronunciations of ``word`` as per-syllable ``[ini, fin]``
+    base-unit id lists: the cross product of each character's readings
+    (polyphones), deduplicated per syllable, capped at ``cap``
+    combinations.  Readings that are not 2 units or use units outside
+    ``id_of`` are dropped; returns ``[]`` when any syllable has no
+    usable reading.  Shared by the CD lexicon compilers (CLI
+    ``cd-expand`` and ``benchmarks/wer_run.py --cd``) so the measured
+    system and the shipped one expand identically."""
+    import itertools
+
+    per_syl = py.units_of(word)
+    if per_syl is None:
+        return []
+    per = []
+    for readings in per_syl:
+        opts, seen = [], set()
+        for us in readings:
+            if len(us) == 2 and all(u in id_of for u in us):
+                o = (id_of[us[0]], id_of[us[1]])
+                if o not in seen:
+                    seen.add(o)
+                    opts.append(o)
+        if not opts:
+            return []
+        per.append(opts)
+    return [[list(s) for s in c]
+            for c in itertools.islice(itertools.product(*per), cap)]
+
+
 @dataclass
 class CDInventory:
     """The context-expanded unit set: seen/needed triples with id maps.
@@ -314,14 +344,6 @@ def context_questions(base: UnitInventory) -> list[ContextQuestion]:
         out.append(ContextQuestion(f"L_{q.name}", 0, q.members))
         out.append(ContextQuestion(f"R_{q.name}", 2, q.members))
     return out
-
-
-@dataclass
-class _Leaf:
-    tree: int                 # (base, position) tree index
-    atoms: np.ndarray         # CD ids at this leaf
-    # best available split, filled lazily: (gain, q_idx, yes_mask)
-    best: tuple | None = None
 
 
 @dataclass
@@ -621,6 +643,24 @@ def cd_entries_from_flat(flat, max_entries_per_word: int = 64):
             entries.append((word, syls))
             count[word] = count.get(word, 0) + 1
     return entries
+
+
+def filter_routable_entries(cd: CDInventory, trees: ContextTrees,
+                            entries):
+    """Split lexicon entries into (routable, skipped_words): a word is
+    routable when every base unit it uses owns a tying tree (i.e.
+    occurred somewhere in the cd-expand vocabulary) or is context-free.
+    Unroutable words cannot get senones and must be dropped with a
+    warning rather than crash decode startup."""
+    known = {b for b, _ in trees.nodes} | set(cd.context_free)
+    good, skipped = [], []
+    for word, syls in entries:
+        units = [u for s in syls for u in s]
+        if all(u in known for u in units):
+            good.append((word, syls))
+        else:
+            skipped.append(word)
+    return good, skipped
 
 
 def extend_for_lexicon(cd: CDInventory, trees: ContextTrees,

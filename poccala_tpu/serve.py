@@ -383,6 +383,10 @@ class ServiceStream:
         self._buf: list[np.ndarray] = []
         self._buffered = 0
         self._closed = False
+        # first error raised by the session's device work (worker
+        # thread); surfaced on the next feed()/result() so a failed
+        # chunk can never silently truncate a transcript
+        self._err: Exception | None = None
         svc.stats.stream_sessions += 1
 
     # ------------------------------------------------------------------
@@ -392,6 +396,9 @@ class ServiceStream:
         fill (asynchronously — this returns immediately)."""
         if self._closed:
             raise RuntimeError("stream is closed")
+        if self._err is not None:
+            raise RuntimeError(
+                "stream failed on an earlier chunk") from self._err
         feats = np.asarray(feats, np.float32)
         if feats.ndim != 2:
             raise ValueError(f"expected [T, D] chunk, got {feats.shape}")
@@ -412,8 +419,13 @@ class ServiceStream:
                            ((0, self.chunk_frames - len(chunk)), (0, 0)))
 
         def run():
-            svc.decoder.stream_feed(st, chunk[None],
-                                    n_valid=np.asarray([n_valid]))
+            try:
+                svc.decoder.stream_feed(st, chunk[None],
+                                        n_valid=np.asarray([n_valid]))
+            except Exception as e:
+                if self._err is None:
+                    self._err = e
+                raise
             svc.stats.stream_chunks += 1
             svc.stats.frames += n_valid
 
@@ -434,6 +446,11 @@ class ServiceStream:
         st, svc = self._st, self.svc
 
         def run():
+            if self._err is not None:
+                fut.set_exception(RuntimeError(
+                    "stream failed on an earlier chunk: "
+                    f"{self._err!r}"))
+                return
             hyps = svc.decoder.stream_result(st, return_nbest=return_nbest)
             if not fut.done():
                 fut.set_result(hyps[0])

@@ -362,7 +362,22 @@ class TestLexiconExtension:
         hyps = dec.decode(x, return_nbest=3)
         assert hyps and any("made" in h.words for h in hyps)
 
-    def test_cd_entries_from_flat_roundtrip(self, base_inv):
+    def test_unroutable_words_filtered_not_crashed(self, base_inv, rng):
+        """A lexicon word using a base unit absent from the expansion
+        vocabulary has no tying tree; it must be droppable up front
+        (filter_routable_entries) instead of crashing decode startup."""
+        cd, trees = TestTrees()._grown(base_inv, rng)
+        i = base_inv.id_of
+        entries = _word_entries(base_inv) + [
+            ("ed", [[i["e4"], i["d"]]])]  # e4 never occurs as initial…
+        # …but both bases exist; craft a truly unknown base: none here,
+        # so fabricate by removing a tree
+        trees.nodes.pop((i["m"], 0), None)
+        trees.nodes.pop((i["m"], 1), None)
+        trees.nodes.pop((i["m"], 2), None)
+        good, skipped = ctx.filter_routable_entries(cd, trees, entries)
+        assert "ma" in skipped
+        assert all(w != "ma" for w, _ in good)
         from poccala_tpu.lexicon.lexicon import FlatLexicon
 
         inv = base_inv

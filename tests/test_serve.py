@@ -273,6 +273,23 @@ class TestDecodeService:
             assert [h.words for h in w] == [h.words for h in g]
         assert [h.words for h in got_s] == [h.words for h in want_s]
 
+    def test_stream_error_surfaces_to_client(self, rng):
+        """A failed chunk (capacity overrun on the worker thread) must
+        surface on the next result()/feed(), never silently truncate
+        the transcript."""
+        dec, utt = _world(rng)
+        x = utt([0, 1])
+        with DecodeService(dec, batch_size=2, frame_bucket=32,
+                           max_wait_s=0.001) as svc:
+            stream = svc.open_stream(chunk_frames=8, max_frames=16)
+            stream.feed(x[:16])
+            stream.result().result(timeout=60)  # fine at capacity
+            stream.feed(x[16:24])  # exceeds max_frames on the worker
+            with pytest.raises(Exception):
+                stream.result().result(timeout=60)
+            with pytest.raises(RuntimeError):
+                stream.feed(x[:8])
+
     def test_compile_sample_excluded_from_ema(self):
         """The first collect (JIT compile — minutes for large graphs)
         must not seed the adaptive-gather EMA, and the window is
