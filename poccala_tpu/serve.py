@@ -169,7 +169,8 @@ class DecodeService:
         return fut
 
     def open_stream(self, chunk_frames: int = 25,
-                    max_frames: int = 4096) -> "ServiceStream":
+                    max_frames: int = 4096,
+                    batch: int = 1) -> "ServiceStream":
         """Start a chunked (live-audio) decode session multiplexed onto
         this service's worker/device (the reference's record→decode
         serving intent, ``Decoder.py:190-218``, without buffering the
@@ -184,11 +185,16 @@ class DecodeService:
             re-buffered to this size (bounds compiled program count);
             a final partial chunk is padded and masked
         :param max_frames: session capacity (traceback table size)
+        :param batch: number of lockstep streams — the Viterbi carries
+            stack and every chunk advances all of them in ONE device
+            program (e.g. a multichannel capture); feed ``[B, Tc, D]``
+            and result() returns per-stream n-best lists
         """
         with self._lock:
             if self._closed:
                 raise RuntimeError("DecodeService is closed")
-        return ServiceStream(self, int(chunk_frames), int(max_frames))
+        return ServiceStream(self, int(chunk_frames), int(max_frames),
+                             batch=int(batch))
 
     def decode_many(self, feats_list, n_frames=None):
         """Pipelined batch convenience: submit everything, gather in
@@ -374,12 +380,16 @@ class ServiceStream:
     """
 
     def __init__(self, svc: DecodeService, chunk_frames: int,
-                 max_frames: int):
+                 max_frames: int, batch: int = 1):
         if chunk_frames < 1:
             raise ValueError("chunk_frames must be >= 1")
+        if batch < 1:
+            raise ValueError("batch must be >= 1")
         self.svc = svc
         self.chunk_frames = chunk_frames
-        self._st = svc.decoder.stream_init(batch=1, max_frames=max_frames)
+        self.batch = batch
+        self._st = svc.decoder.stream_init(batch=batch,
+                                           max_frames=max_frames)
         self._buf: list[np.ndarray] = []
         self._buffered = 0
         self._closed = False
@@ -391,43 +401,49 @@ class ServiceStream:
 
     # ------------------------------------------------------------------
     def feed(self, feats) -> None:
-        """Append ``[Tc, D]`` feature frames (any Tc); full
-        ``chunk_frames`` chunks are dispatched to the device as they
-        fill (asynchronously — this returns immediately)."""
+        """Append feature frames — ``[Tc, D]`` (or ``[B, Tc, D]`` for a
+        lockstep batched stream), any Tc; full ``chunk_frames`` chunks
+        are dispatched to the device as they fill (asynchronously —
+        this returns immediately)."""
         if self._closed:
             raise RuntimeError("stream is closed")
         if self._err is not None:
             raise RuntimeError(
                 "stream failed on an earlier chunk") from self._err
         feats = np.asarray(feats, np.float32)
-        if feats.ndim != 2:
-            raise ValueError(f"expected [T, D] chunk, got {feats.shape}")
+        if self.batch == 1 and feats.ndim == 2:
+            feats = feats[None]
+        if feats.ndim != 3 or feats.shape[0] != self.batch:
+            raise ValueError(
+                f"expected [{self.batch}, T, D] chunk, got {feats.shape}")
         self._buf.append(feats)
-        self._buffered += len(feats)
+        self._buffered += feats.shape[1]
         while self._buffered >= self.chunk_frames:
-            flat = np.concatenate(self._buf, axis=0)
-            chunk, rest = flat[: self.chunk_frames], \
-                flat[self.chunk_frames:]
-            self._buf = [rest] if len(rest) else []
-            self._buffered = len(rest)
+            flat = np.concatenate(self._buf, axis=1)
+            chunk, rest = flat[:, : self.chunk_frames], \
+                flat[:, self.chunk_frames:]
+            self._buf = [rest] if rest.shape[1] else []
+            self._buffered = rest.shape[1]
             self._enqueue_chunk(chunk, self.chunk_frames)
 
     def _enqueue_chunk(self, chunk: np.ndarray, n_valid: int) -> None:
         st, svc = self._st, self.svc
-        if len(chunk) < self.chunk_frames:  # padded final partial chunk
-            chunk = np.pad(chunk,
-                           ((0, self.chunk_frames - len(chunk)), (0, 0)))
+        b = self.batch
+        if chunk.shape[1] < self.chunk_frames:  # padded final partial
+            chunk = np.pad(chunk, ((0, 0),
+                                   (0, self.chunk_frames - chunk.shape[1]),
+                                   (0, 0)))
 
         def run():
             try:
-                svc.decoder.stream_feed(st, chunk[None],
-                                        n_valid=np.asarray([n_valid]))
+                svc.decoder.stream_feed(
+                    st, chunk, n_valid=np.full((b,), n_valid, np.int32))
             except Exception as e:
                 if self._err is None:
                     self._err = e
                 raise
             svc.stats.stream_chunks += 1
-            svc.stats.frames += n_valid
+            svc.stats.frames += n_valid * b
 
         with svc._lock:
             if svc._closed:
@@ -437,11 +453,12 @@ class ServiceStream:
     def result(self, return_nbest: int = 1) -> Future:
         """Current n-best (partial mid-stream, final after the last
         feed).  Flushes any buffered partial chunk first.  Returns a
-        Future resolving to the hypothesis list."""
+        Future resolving to the hypothesis list (``batch == 1``) or the
+        per-stream list of hypothesis lists."""
         if self._buffered:
-            flat = np.concatenate(self._buf, axis=0)
+            flat = np.concatenate(self._buf, axis=1)
             self._buf, self._buffered = [], 0
-            self._enqueue_chunk(flat, len(flat))
+            self._enqueue_chunk(flat, flat.shape[1])
         fut: Future = Future()
         st, svc = self._st, self.svc
 
@@ -453,7 +470,7 @@ class ServiceStream:
                 return
             hyps = svc.decoder.stream_result(st, return_nbest=return_nbest)
             if not fut.done():
-                fut.set_result(hyps[0])
+                fut.set_result(hyps[0] if self.batch == 1 else hyps)
 
         with svc._lock:
             if svc._closed:

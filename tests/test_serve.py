@@ -273,6 +273,29 @@ class TestDecodeService:
             assert [h.words for h in w] == [h.words for h in g]
         assert [h.words for h in got_s] == [h.words for h in want_s]
 
+    def test_batched_lockstep_streams(self, rng):
+        """batch > 1: the Viterbi carries stack and one chunk advances
+        all streams in one device program; per-stream results equal
+        the one-shot batch decode of the concatenated features."""
+        dec, utt = _world(rng)
+        xs = [utt([0, 1, 2, 3]), utt([4, 5, 0, 1])]
+        t = min(len(x) for x in xs)
+        xb = np.stack([x[:t] for x in xs])            # [2, T, D]
+        want = dec.decode_batch(xb, np.full(2, t, np.int32),
+                                return_nbest=2)
+        with DecodeService(dec, batch_size=2, frame_bucket=32,
+                           max_wait_s=0.001) as svc:
+            stream = svc.open_stream(chunk_frames=10, max_frames=256,
+                                     batch=2)
+            for lo in range(0, t, 7):                 # ragged feeds
+                stream.feed(xb[:, lo: lo + 7])
+            got = stream.result(return_nbest=2).result(timeout=60)
+        assert len(got) == 2
+        for w, g in zip(want, got):
+            assert [h.words for h in g] == [h.words for h in w]
+            assert np.allclose([h.score for h in g],
+                               [h.score for h in w], rtol=1e-5)
+
     def test_stream_error_surfaces_to_client(self, rng):
         """A failed chunk (capacity overrun on the worker thread) must
         surface on the next result()/feed(), never silently truncate
