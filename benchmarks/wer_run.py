@@ -304,6 +304,12 @@ def main():
     ap.add_argument("--cd-senones", type=int, default=0,
                     help="tied-senone budget for the CD trees "
                          "(0 = 3x the CI senone count)")
+    ap.add_argument("--cd-map-tau", type=float, default=0.0,
+                    help="MAP-smooth retrained CD leaves toward their "
+                         "CI parents with this prior strength in "
+                         "frames (w = n/(n+tau)); 0 = off — the "
+                         "starved-leaf back-off for large senone "
+                         "budgets (models/context.py map_smooth_bank)")
     ap.add_argument("--wb-arm", action="store_true",
                     help="additionally decode the test set with a "
                          "Witten-Bell-smoothed FIRST-PASS bigram (per-"
@@ -704,6 +710,12 @@ def main():
         tr_cd.scheme1_round(cd_batches, init=False, smem=False)
         tr_cd.auto(cd_batches, t=2, mode=2, init=False)
         cd_bank = tr_cd.export_bank()
+        if args.cd_map_tau > 0:
+            cd_bank = ctx_mod.map_smooth_bank(
+                cd_bank, bank, cd_inv, trees, acc_cd.occ,
+                tau=args.cd_map_tau)
+            log(f"cd: MAP-smoothed toward CI parents (tau="
+                f"{args.cd_map_tau:g} frames)")
         log(f"cd: retrained in {time.time()-t_cd0:.0f}s")
 
         cd_flat = ctx_mod.build_cd_lexicon(
@@ -739,6 +751,7 @@ def main():
             "triples": int(len(cd_inv)),
             "senones": int(cd_bank.num_states),
             "target_senones": int(target),
+            "map_tau": float(args.cd_map_tau),
             "splits": len(trees.splits_log),
             "top_splits": trees.splits_log[:12],
             "lexicon_nodes": int(cd_flat.n_nodes),

@@ -358,6 +358,12 @@ def cmd_cd_expand(args):
     if args.retrain_epochs > 1:
         tr.auto(cd_batches, t=args.retrain_epochs - 1, mode=2,
                 init=False)
+    if args.map_tau > 0:
+        tr.bank = ctx.map_smooth_bank(
+            tr.export_bank(), bank, cd, trees, acc.occ,
+            tau=args.map_tau)
+        print(f"cd: MAP-smoothed toward CI parents "
+              f"(tau={args.map_tau:g} frames)", file=sys.stderr)
     ckpt.save_checkpoint(
         args.out_checkpoint, tr.export_bank(),
         {"mix_level": tr.mix_level, "cd": True,
@@ -648,6 +654,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help=".trn line carrying the word sequence "
                           "(word boundaries reset context)")
     cdx.add_argument("--min-occ", type=float, default=16.0)
+    cdx.add_argument("--map-tau", type=float, default=0.0,
+                     help="MAP-smooth retrained leaves toward their CI "
+                          "parents, prior strength in frames "
+                          "(w = n/(n+tau)); 0 = off")
     cdx.set_defaults(fn=cmd_cd_expand)
 
     li = sub.add_parser("listen")

@@ -233,7 +233,7 @@ class TestCliCdExpand:
             "--vocab", vocab_file, "--table", table,
             "--out-checkpoint", cd_ckpt, "--out-cd", cd_json,
             "--target-senones", "60", "--retrain-epochs", "2",
-            "--min-occ", "4")
+            "--min-occ", "4", "--map-tau", "8")
         assert os.path.exists(os.path.join(cd_ckpt, "bank.npz"))
         assert os.path.exists(cd_json)
 

@@ -322,6 +322,72 @@ class TestCloneEquivalence:
         assert sorted(all_words) == ["ba", "bade", "de", "ma"]
 
 
+class TestMapSmoothing:
+    def _world(self, base_inv, rng):
+        ci_bank, _ = _ci_world(rng, base_inv)
+        cd = _cd_inv(base_inv)
+        n_cd, emit, d = len(cd), 3, 8
+        occ_stats = np.full((n_cd, emit), 30.0)
+        mean = rng.normal(size=(n_cd, emit, d))
+        trees = ctx.grow_context_trees(cd, occ_stats, mean,
+                                       mean**2 + 1.0,
+                                       target_senones=n_cd * emit,
+                                       min_occ=1.0)
+        cd_bank = ctx.build_cd_bank(ci_bank, cd, trees)
+        # simulate a retrain drift so smoothing has something to blend
+        import dataclasses as dc
+        import jax.numpy as jnp
+
+        drifted = dc.replace(
+            cd_bank,
+            means=cd_bank.means + 2.0,
+            log_var=cd_bank.log_var + 0.5,
+        )
+        return ci_bank, cd, trees, cd_bank, drifted
+
+    def test_tau_limits(self, base_inv, rng):
+        """tau -> 0 keeps the retrained leaves; huge tau (or a leaf
+        with zero occupancy) shrinks to the CI parent exactly (the
+        clone's parameters)."""
+        ci_bank, cd, trees, clone, drifted = self._world(base_inv, rng)
+        occ = np.full((len(cd), 3), 100.0)
+        out0 = ctx.map_smooth_bank(drifted, ci_bank, cd, trees, occ,
+                                   tau=1e-9)
+        assert np.allclose(np.asarray(out0.means),
+                           np.asarray(drifted.means), atol=1e-4)
+        out_inf = ctx.map_smooth_bank(drifted, ci_bank, cd, trees, occ,
+                                      tau=1e12)
+        assert np.allclose(np.asarray(out_inf.means),
+                           np.asarray(clone.means), atol=1e-3)
+        # zero-occupancy leaves shrink fully regardless of tau
+        out_z = ctx.map_smooth_bank(drifted, ci_bank, cd, trees,
+                                    np.zeros((len(cd), 3)), tau=8.0)
+        assert np.allclose(np.asarray(out_z.means),
+                           np.asarray(clone.means), atol=1e-3)
+
+    def test_interpolation_is_monotone_and_moment_consistent(
+            self, base_inv, rng):
+        ci_bank, cd, trees, clone, drifted = self._world(base_inv, rng)
+        occ = np.full((len(cd), 3), 16.0)
+        out = ctx.map_smooth_bank(drifted, ci_bank, cd, trees, occ,
+                                  tau=16.0)  # w = 0.5
+        m = np.asarray(out.means)
+        lo = np.minimum(np.asarray(drifted.means),
+                        np.asarray(clone.means))
+        hi = np.maximum(np.asarray(drifted.means),
+                        np.asarray(clone.means))
+        assert (m >= lo - 1e-4).all() and (m <= hi + 1e-4).all()
+        # blended variance >= blend of variances (moment form adds the
+        # between-mean spread)
+        v = np.exp(np.asarray(out.log_var))
+        v_mix = 0.5 * np.exp(np.asarray(drifted.log_var)) \
+            + 0.5 * np.exp(np.asarray(clone.log_var))
+        assert (v >= v_mix - 1e-4).all()
+        # mixture weights stay normalized over active slots
+        w = np.exp(np.asarray(out.log_w)).sum(-1)
+        assert np.allclose(w, 1.0, atol=1e-4)
+
+
 class TestLexiconExtension:
     def test_extend_for_lexicon_registers_unseen_word(self, base_inv,
                                                       rng):
