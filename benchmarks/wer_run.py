@@ -264,6 +264,10 @@ def main():
                     help="per-utterance cepstral mean normalization "
                          "(frontend.cmvn) — the standard channel/noise "
                          "remedy, flag-gated")
+    ap.add_argument("--spectral-subtraction", action="store_true",
+                    help="Boll-style magnitude spectral subtraction "
+                         "(noise spectrum from the VAD lead-in "
+                         "window); frontend.spectral_subtraction")
     ap.add_argument("--cmvn-var", action="store_true",
                     help="additionally scale to unit per-coefficient "
                          "variance (frontend.cmvn_var; implies --cmvn) "
@@ -427,6 +431,7 @@ def main():
     cfg.frontend.pitch = bool(args.pitch)
     cfg.frontend.cmvn = bool(args.cmvn or args.cmvn_var)
     cfg.frontend.cmvn_var = bool(args.cmvn_var)
+    cfg.frontend.spectral_subtraction = bool(args.spectral_subtraction)
     cfg.model.var_floor_scale = float(args.var_floor_scale)
     cfg.train.label_format = "pinyin"
     cfg.train.load_line = 1
@@ -945,6 +950,7 @@ def main():
                   }),
         "cmvn": bool(args.cmvn or args.cmvn_var),
         "cmvn_var": bool(args.cmvn_var),
+        "spectral_subtraction": bool(args.spectral_subtraction),
         "var_floor_scale": float(args.var_floor_scale),
         "lm_structure": int(args.lm_structure),
         "homophones_requested": int(args.homophones),

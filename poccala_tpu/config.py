@@ -85,6 +85,17 @@ class FrontendConfig:
     # variance.  Flag-gated off by default (capability addition).
     cmvn: bool = False
     cmvn_var: bool = False
+    # Optional magnitude-domain spectral subtraction (Boll 1979; the
+    # classical additive-noise remedy the reference lacks): the noise
+    # magnitude spectrum is estimated from the first
+    # ``vad_sample_size`` frames (the same lead-in window the VAD's
+    # noise model uses, AudioProcessing.py:462-478), over-subtracted by
+    # ``ss_alpha`` and floored at ``ss_floor`` of the noisy magnitude
+    # (the standard musical-noise guard).  Applied to |DFT| before the
+    # mel bank; flag-gated off (capability addition).
+    spectral_subtraction: bool = False
+    ss_alpha: float = 2.0
+    ss_floor: float = 0.02
     # Optional pitch (F0) feature column — a capability the reference
     # lacks: MFCC is pitch-blind, so Mandarin tone contrasts are
     # unmodelable without it.  Autocorrelation F0 per frame, encoded as

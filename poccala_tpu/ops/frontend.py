@@ -225,6 +225,18 @@ class Frontend:
         else:
             spec = jnp.abs(jnp.fft.rfft(win, n=cfg.nfft, axis=-1))
 
+        # Optional spectral subtraction (Boll-style, flag-gated):
+        # noise magnitude from the first vad_sample_size VALID frames
+        # (the VAD's own noise window), over-subtract, floor — padding
+        # frames are excluded from the estimate via the t_true mask
+        if cfg.spectral_subtraction:
+            n_noise = jnp.minimum(cfg.vad_sample_size, t_true)
+            in_win = (frame_idx < n_noise)[:, None]
+            noise = (jnp.sum(jnp.where(in_win, spec, 0.0), axis=0)
+                     / jnp.maximum(n_noise, 1))
+            spec = jnp.maximum(spec - cfg.ss_alpha * noise[None, :],
+                               cfg.ss_floor * spec)
+
         # Frame energy (AudioProcessing.py:338: sum of magnitudes; textbook
         # mode uses power)
         if cfg.reference_quirks:

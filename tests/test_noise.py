@@ -91,3 +91,63 @@ class TestMixAtSnr:
         # noise-estimation window
         assert 0 < int(n) <= int(np.asarray(mask).sum())
         assert np.isfinite(np.asarray(packed)[: int(n)]).all()
+
+
+class TestSpectralSubtraction:
+    """Boll-style magnitude spectral subtraction
+    (frontend.spectral_subtraction): noise estimated from the VAD
+    lead-in window, over-subtracted, floored."""
+
+    def _feats(self, sig, ss, **kw):
+        import dataclasses
+
+        from poccala_tpu.config import FrontendConfig
+        from poccala_tpu.ops.frontend import Frontend
+
+        cfg = FrontendConfig(vad=False, spectral_subtraction=ss, **kw)
+        fe = Frontend(cfg)
+        f, m = fe.mfcc(sig.astype(np.float32))
+        return np.asarray(f), np.asarray(m)
+
+    def _tone_plus_noise(self, rng, f0=1000.0, n=16000, snr_amp=0.25):
+        t = np.arange(n) / 16000.0
+        noise = rng.normal(size=n) * 400.0
+        sig = np.zeros(n)
+        # lead-in: noise only (the estimation window), then tone+noise
+        sig[:4000] = noise[:4000]
+        sig[4000:] = 4000.0 * np.sin(2 * np.pi * f0 * t[4000:]) \
+            + noise[4000:]
+        return sig
+
+    def test_flag_off_is_unchanged(self, rng):
+        sig = self._tone_plus_noise(rng)
+        f_off, _ = self._feats(sig, ss=False)
+        f_off2, _ = self._feats(sig, ss=False)
+        assert np.allclose(f_off, f_off2)
+
+    def test_noise_energy_drops_speech_survives(self, rng):
+        """After subtraction the noise-only region's frame energy (c0)
+        drops by nats while the tone region's drops far less — the
+        SNR-improvement property the flag exists for."""
+        sig = self._tone_plus_noise(rng)
+        f_off, m = self._feats(sig, ss=False)
+        f_on, _ = self._feats(sig, ss=True)
+        t_true = int(m.sum())
+        # frames after the estimation window but before the tone starts
+        # (lead-in is 4000 samples = 19 frames at 25ms/50%): noise-only
+        noise_frames = slice(16, 19)
+        tone_frames = slice(30, t_true - 2)
+        d_noise = (f_off[noise_frames, 0] - f_on[noise_frames, 0]).mean()
+        d_tone = (f_off[tone_frames, 0] - f_on[tone_frames, 0]).mean()
+        assert d_noise > 1.0, d_noise          # nats of c0 removed
+        assert d_tone < d_noise * 0.5, (d_tone, d_noise)
+
+    def test_floor_bounds_subtraction(self, rng):
+        """With a huge over-subtraction factor the floor keeps the
+        magnitude at ss_floor of the noisy one: features stay finite
+        and bounded below."""
+        sig = self._tone_plus_noise(rng)
+        f_on, m = self._feats(sig, ss=True, ss_alpha=100.0,
+                              ss_floor=0.02)
+        t_true = int(m.sum())
+        assert np.isfinite(f_on[:t_true]).all()
