@@ -179,6 +179,12 @@ def main():
                 "lm_weight": args.lm_weight,
                 "word_penalty": args.word_penalty,
             },
+            "proxy_disclosure": (
+                "NOT real speech: the corpus is the formant-synthesized "
+                "Mandarin proxy (poccala_tpu/io/synth_formant.py; no "
+                "speech corpus / network egress exists in this "
+                "environment) — WER rows are PROXY evidence, as in "
+                "every WER_r0*.json artifact."),
             "note": (
                 "Trained-bank pruning sweep at the full Mandarin.dat "
                 "vocabulary — the repair study for WER_r05_cd.json's "

@@ -611,7 +611,7 @@ def main():
                 }
                 fv_rows.append(row)
                 log(f"fullvocab {tag}/{mode}: WER={r.wer:.3f} "
-                    f"({audio_seconds / dt:.0f} audio-s/s)")
+                    f"({dt:.0f}s incl. compile)")
         # the exact-vs-pruned WER delta with trained scores is the
         # point (synthetic-separable agreement was the r04 evidence)
         deltas = {}
@@ -712,7 +712,10 @@ def main():
         tr_cd.bank = cd_bank
         tr_cd.mix_level = tr.mix_level
         tr_cd._var_floor_vec = tr._var_floor_vec
-        tr_cd.scheme1_round(cd_batches, init=False, smem=False)
+        # reinit=False: EM refit FROM the clones — preserves component
+        # correspondence with the CI parents (map_smooth_bank premise)
+        tr_cd.scheme1_round(cd_batches, init=False, smem=False,
+                            reinit=False)
         tr_cd.auto(cd_batches, t=2, mode=2, init=False)
         cd_bank = tr_cd.export_bank()
         if args.cd_map_tau > 0:

@@ -354,7 +354,9 @@ def cmd_cd_expand(args):
     tr = Trainer(cfg, UnitInventory(ctx.cd_unit_names(cd)))
     tr.bank = cd_bank
     tr.mix_level = manifest.get("mix_level", tr.mix_level)
-    tr.scheme1_round(cd_batches, init=False, smem=False)
+    # reinit=False: EM refit FROM the clones — preserves component
+    # correspondence with the CI parents (map_smooth_bank premise)
+    tr.scheme1_round(cd_batches, init=False, smem=False, reinit=False)
     if args.retrain_epochs > 1:
         tr.auto(cd_batches, t=args.retrain_epochs - 1, mode=2,
                 init=False)

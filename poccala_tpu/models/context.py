@@ -510,6 +510,29 @@ def _map_leaves(node, mapping):
 # CD bank construction
 # ----------------------------------------------------------------------
 
+def _ci_parent_of_leaves(ci_bank: SenoneBank, cd: CDInventory,
+                         trees: ContextTrees) -> np.ndarray:
+    """CI source senone of every tied leaf: for each leaf, the CI
+    senone of the (base unit, position) of any triple routed to it —
+    the clone source (`build_cd_bank`) and the MAP prior
+    (`map_smooth_bank`) must agree on this derivation."""
+    emit = ci_bank.emit_states
+    s_new = trees.n_senones
+    sen_of = np.asarray(trees.senone_of)
+    ci_map = np.asarray(ci_bank.senone_map)
+    src = np.zeros(s_new, np.int64)
+    seen = np.zeros(s_new, bool)
+    for i in range(len(cd)):
+        b = int(cd.base_of[i])
+        for e in range(emit):
+            s = int(sen_of[i, e])
+            if not seen[s]:
+                src[s] = ci_map[b, e]
+                seen[s] = True
+    assert seen.all(), "unreachable tied senone"
+    return src
+
+
 def build_cd_bank(ci_bank: SenoneBank, cd: CDInventory,
                   trees: ContextTrees) -> SenoneBank:
     """Clone a CD bank from a trained CI bank: each tied senone starts
@@ -518,21 +541,7 @@ def build_cd_bank(ci_bank: SenoneBank, cd: CDInventory,
     model until retraining differentiates the leaves."""
     import jax.numpy as jnp
 
-    emit = ci_bank.emit_states
-    n_cd = len(cd)
-    s_new = trees.n_senones
-    ci_map = np.asarray(ci_bank.senone_map)
-    # CI source senone of every new leaf: from any triple routed to it
-    src = np.zeros(s_new, np.int64)
-    seen = np.zeros(s_new, bool)
-    for i in range(n_cd):
-        b = int(cd.base_of[i])
-        for e in range(emit):
-            s = int(trees.senone_of[i, e])
-            if not seen[s]:
-                src[s] = ci_map[b, e]
-                seen[s] = True
-    assert seen.all(), "unreachable tied senone"
+    src = _ci_parent_of_leaves(ci_bank, cd, trees)
     means = np.asarray(ci_bank.means)[src]
     log_var = np.asarray(ci_bank.log_var)[src]
     log_w = np.asarray(ci_bank.log_w)[src]
@@ -673,25 +682,13 @@ def map_smooth_bank(
     """
     import jax.numpy as jnp
 
-    emit = ci_bank.emit_states
     s_cd = cd_bank.num_states
     sen_of = np.asarray(trees.senone_of)
-    ci_map = np.asarray(ci_bank.senone_map)
 
     leaf_occ = np.zeros(s_cd)
     np.add.at(leaf_occ, sen_of.reshape(-1),
               np.asarray(occ, np.float64).reshape(-1))
-    # CI parent of each leaf (same derivation as build_cd_bank)
-    src = np.zeros(s_cd, np.int64)
-    seen = np.zeros(s_cd, bool)
-    for i in range(len(cd)):
-        b = int(cd.base_of[i])
-        for e in range(emit):
-            s = int(sen_of[i, e])
-            if not seen[s]:
-                src[s] = ci_map[b, e]
-                seen[s] = True
-    assert seen.all()
+    src = _ci_parent_of_leaves(ci_bank, cd, trees)
 
     w = (leaf_occ / (leaf_occ + float(tau))).astype(np.float32)
     w3 = w[:, None, None]

@@ -437,14 +437,26 @@ class Trainer:
                 self.log.info("SMEM: %d split-merge moves accepted", n_accepted)
 
     def scheme1_round(self, batches: Sequence[Batch], init: bool,
-                      smem: bool | None = None) -> float:
+                      smem: bool | None = None,
+                      reinit: bool | None = None) -> float:
         """One scheme-1 round: (re)segment → GMM training → embedded
         transmat re-estimation (``Task.auto`` mode-1 body,
-        ``Controller.py:190-196``)."""
+        ``Controller.py:190-196``).
+
+        ``reinit``: force (True) or forbid (False) the k-means
+        re-seeding of the GMMs; ``None`` (default) auto-detects from
+        mixture growth as the reference does
+        (``AcousticModel.py:552-558``).  The CD retrain path passes
+        False — its leaves are clones of their CI parents and MAP
+        smoothing's slot-wise blending requires the EM refit to start
+        FROM the clone (component correspondence), which a re-seed
+        would silently break whenever any cloned senone's mix_counts
+        differ from mix_level (e.g. starved CI senones)."""
         self._ensure_var_floor(batches)
-        reinit = init or bool(
-            np.any(np.asarray(self.bank.mix_counts) != self.mix_level)
-        )
+        if reinit is None:
+            reinit = init or bool(
+                np.any(np.asarray(self.bank.mix_counts) != self.mix_level)
+            )
         frames, mask = self._collect_frames(batches, init=init)
         if smem is None:
             smem = init and self.cfg.train.smem

@@ -434,10 +434,9 @@ class TestLexiconExtension:
         (filter_routable_entries) instead of crashing decode startup."""
         cd, trees = TestTrees()._grown(base_inv, rng)
         i = base_inv.id_of
-        entries = _word_entries(base_inv) + [
-            ("ed", [[i["e4"], i["d"]]])]  # e4 never occurs as initial…
-        # …but both bases exist; craft a truly unknown base: none here,
-        # so fabricate by removing a tree
+        entries = _word_entries(base_inv)
+        # fabricate an unknown base by removing its trees: "ma" (the
+        # only word using m) becomes unroutable
         trees.nodes.pop((i["m"], 0), None)
         trees.nodes.pop((i["m"], 1), None)
         trees.nodes.pop((i["m"], 2), None)

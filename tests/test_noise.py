@@ -142,6 +142,55 @@ class TestSpectralSubtraction:
         assert d_noise > 1.0, d_noise          # nats of c0 removed
         assert d_tone < d_noise * 0.5, (d_tone, d_noise)
 
+    def test_numpy_oracle_static_cepstra(self, rng):
+        """Exact NumPy re-computation of the textbook frontend WITH
+        spectral subtraction (pre-emphasis -> frames -> hamming ->
+        |DFT| -> SS -> mel -> log -> DCT -> energy c0), compared on the
+        static cepstra — the repo's new-kernel oracle rule.  A sign /
+        axis / broadcast regression in the noise average or the floor
+        would fail here, unlike the property tests."""
+        from poccala_tpu.config import FrontendConfig
+        from poccala_tpu.ops.frontend import Frontend, num_frames
+
+        cfg = FrontendConfig(vad=False, spectral_subtraction=True,
+                             ss_alpha=1.5, ss_floor=0.05)
+        fe = Frontend(cfg)
+        sig = self._tone_plus_noise(rng).astype(np.float32)
+        f_dev, m = fe.mfcc(sig)
+        f_dev = np.asarray(f_dev, np.float64)
+        t_true = int(np.asarray(m).sum())
+
+        # ---- independent numpy pipeline (float64)
+        pe = np.append(sig[1:] - cfg.pre_emphasis * sig[:-1],
+                       0.0).astype(np.float64)
+        pe[len(sig) - 1] = 0.0
+        fs, st = cfg.frame_size, cfg.frame_step
+        t_pad = num_frames(len(sig), fs, st)
+        pad = (t_pad - 1) * st + fs - len(pe)
+        pe = np.pad(pe, (0, max(pad, 0)))
+        frames = np.stack([pe[i * st: i * st + fs]
+                           for i in range(t_pad)])
+        n = np.arange(fs)
+        win = frames * ((1 - cfg.hamming_alpha) - cfg.hamming_alpha
+                        * np.cos(2 * np.pi * n / (fs - 1)))[None, :]
+        spec = np.abs(np.fft.rfft(win, n=cfg.nfft, axis=-1))
+        n_noise = min(cfg.vad_sample_size, t_true)
+        noise = spec[:n_noise].mean(axis=0)
+        spec = np.maximum(spec - cfg.ss_alpha * noise[None, :],
+                          cfg.ss_floor * spec)
+        energy = np.sum(spec * spec, axis=-1)
+        from poccala_tpu.ops.frontend import (dct_matrix,
+                                              mel_filterbank_matrix)
+
+        fbank = spec @ mel_filterbank_matrix(cfg).astype(np.float64)
+        ceps = np.log(np.maximum(fbank, 1e-10)) \
+            @ dct_matrix(cfg).astype(np.float64)
+        ceps[:, 0] = np.log(np.maximum(energy, 1e-10))
+
+        err = np.abs(f_dev[:t_true, : cfg.dct_num]
+                     - ceps[:t_true]).max()
+        assert err < 2e-3, err
+
     def test_floor_bounds_subtraction(self, rng):
         """With a huge over-subtraction factor the floor keeps the
         magnitude at ss_floor of the noisy one: features stay finite
